@@ -1,0 +1,210 @@
+"""Table-cell grid construction and table-cell <-> pdf-cell matching.
+
+Coordinate systems (reference contract, tf_cell_matcher.py:88-99):
+
+- *Page* system: origin at the lower-left corner, y grows upward;
+  bbox = (x1, y1, x2, y2) = (lower-left, upper-right).
+- *Table* (model output) system: origin at the upper-left corner, y grows
+  downward; coordinates normalized to the table crop.
+
+Parity with ``tableformer-docling/.../data_management/tf_cell_matcher.py``
+(build 368-418, translate 420-463, intersection match 465-527, predicate
+56-81) and ``tf_predictor.py`` (bbox/tag desync repair 228-278) is pinned
+by ``tests/test_cells.py`` against the cell_matching golden fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .otsl import CELL_TAGS, html_to_otsl
+
+# Tags that consume a bbox / produce a structural cell in OTSL mode.
+# parity: xcel is included (tf_cell_matcher.py:382) even though it is a
+# span filler — spans recorded by html-cell index therefore drift after
+# an xcel; that drift is reference behavior and must be preserved.
+GRID_CELL_TAGS = ("fcel", "ecel", "xcel", "ched", "rhed", "srow")
+
+
+def translate_bboxes(table_bbox, cell_bboxes):
+    """Map normalized table-system cell bboxes into page coordinates.
+
+    Vectorized affine + y-flip + column permute, matching the reference
+    op-for-op so float results are bit-identical
+    (tf_cell_matcher.py:420-463).
+    """
+    x1, y1, x2, y2 = table_bbox[0], table_bbox[1], table_bbox[2], table_bbox[3]
+    width = x2 - x1
+    height = y2 - y1
+    b = np.asarray(cell_bboxes)
+    offset = np.asarray([x1, y2, x1, y2])
+    scale = np.asarray([width, -height, width, -height])
+    flipped = offset + scale * b
+    permuted = flipped[:, [0, 3, 2, 1]]
+    rows = permuted.tolist()
+    return [
+        [r[0], y2 - r[3] + y1, r[2], y2 - r[1] + y1]
+        for r in rows
+    ]
+
+
+def build_table_cells(html_seq, otsl_seq, bboxes_page, classes):
+    """Walk the OTSL stream and emit one structural cell per cell tag.
+
+    Row/column indices track the grid position; span values come from the
+    HTML->OTSL span map computed on ``html_seq``
+    (tf_cell_matcher.py:236-269, 368-418).
+    """
+    ok, parsed = html_to_otsl(html_seq)
+    spans = parsed["spans"] if ok else {}
+
+    cells = []
+    cell_id = 0
+    row_id = 0
+    col_id = 0
+    for tag in otsl_seq:
+        if tag == "nl":
+            row_id += 1
+            col_id = 0
+            continue
+        if tag in GRID_CELL_TAGS:
+            bbox = bboxes_page[cell_id] if cell_id < len(bboxes_page) else [0.0, 0.0, 0.0, 0.0]
+            cell_class = classes[cell_id] if cell_id < len(classes) else 2
+            cell = {
+                "cell_id": cell_id,
+                "row_id": row_id,
+                "column_id": col_id,
+                "bbox": bbox,
+                "cell_class": cell_class,
+                "label": tag,
+                "multicol_tag": "",
+            }
+            span = spans.get(cell_id)
+            if span is not None:
+                if span[0] > 0:
+                    cell["colspan_val"] = span[0]
+                if span[1] > 0:
+                    cell["rowspan_val"] = span[1]
+            cells.append(cell)
+            cell_id += 1
+        col_id += 1
+    return cells
+
+
+def bbox_intersection(b1, b2):
+    """Intersection bbox of two page-system bboxes, or None.
+
+    parity: the reference's no-overlap predicate contains a self-compare
+    (``b2[1] > b2[3]``, tf_cell_matcher.py:72) instead of ``b2[1] > b1[3]``;
+    the miss is harmless (the resulting negative-height intersection has
+    negative area and is filtered downstream) but is reproduced verbatim
+    so intermediate values match.
+    """
+    if b1[2] < b2[0] or b2[2] < b1[0] or b1[1] > b2[3] or b2[1] > b2[3]:
+        return None
+    return [
+        max(b1[0], b2[0]),
+        max(b1[1], b2[1]),
+        min(b1[2], b2[2]),
+        min(b1[3], b2[3]),
+    ]
+
+
+def intersection_over_pdf_match(table_cells, pdf_cells):
+    """Pair every table cell with every pdf cell; score by
+    intersection-area / pdf-cell-area; keep positive scores; drop exact
+    duplicate matches (tf_cell_matcher.py:465-527).
+
+    Returns ``(matches, counter)`` where matches maps pdf_cell_id (native
+    key type) -> list of ``{"table_cell_id", "iopdf"}``.
+
+    This is the reference's J1 theta join.  At Spark level the outer
+    parallelism is per turn; within a turn the candidate sets are tiny
+    (<= a few hundred), so the quadratic pairing stays in numpy/python.
+    """
+    if not pdf_cells:
+        return {}, 0
+    pdf_boxes = np.asarray([p["bbox"] for p in pdf_cells])
+    pdf_areas = (pdf_boxes[:, 2] - pdf_boxes[:, 0]) * (pdf_boxes[:, 3] - pdf_boxes[:, 1])
+
+    matches = {}
+    counter = 0
+    for cell in table_cells:
+        t_id = cell["cell_id"]
+        t_box = cell["bbox"]
+        for j, pdf_cell in enumerate(pdf_cells):
+            p_id = pdf_cell["id"]
+            inter = bbox_intersection(t_box, pdf_cell["bbox"])
+            if inter is None:
+                continue
+            inter_area = (inter[2] - inter[0]) * (inter[3] - inter[1])
+            iopdf = 0
+            if float(pdf_areas[j]) > 0:
+                iopdf = inter_area / float(pdf_areas[j])
+            if iopdf > 0:
+                match = {"table_cell_id": t_id, "iopdf": iopdf}
+                existing = matches.get(p_id)
+                if existing is None:
+                    matches[p_id] = [match]
+                    counter += 1
+                elif match not in existing:
+                    existing.append(match)
+                    counter += 1
+    return matches, counter
+
+
+def normalize_pdf_cells(pdf_cells):
+    """Coerce ``{l,t,r,b}`` dict bboxes to ``[l,t,r,b]`` lists
+    (tf_cell_matcher.py:129-140)."""
+    out = []
+    for cell in pdf_cells:
+        cell = dict(cell)
+        bbox = cell["bbox"]
+        if isinstance(bbox, dict):
+            cell["bbox"] = [bbox["l"], bbox["t"], bbox["r"], bbox["b"]]
+        out.append(cell)
+    return out
+
+
+def count_expected_cells(html_seq):
+    """Count cell-producing tokens in an HTML structure stream.
+
+    ``<td>`` and the ``>`` that closes a split spanned cell each stand for
+    one cell; raw OTSL cell tags are also counted because
+    ``otsl_to_html`` passes non-OTSL-led streams through unchanged
+    (tf_predictor.py:255-272).
+    """
+    count = 0
+    for tok in html_seq:
+        if tok in ("<td>", ">"):
+            count += 1
+        if tok in CELL_TAGS:
+            count += 1
+    return count
+
+
+def repair_bbox_desync(html_seq, bboxes):
+    """Drop one bbox after each spanned cell when bboxes outnumber cells.
+
+    Reference D4 (tf_predictor.py:228-253): walking the HTML stream, a
+    counter advances on ``<td>`` and ``>``; every ``>`` marks the *next*
+    bbox index for deletion.
+    """
+    cursor = 0
+    doomed = set()
+    for tok in html_seq:
+        if tok == "<td>":
+            cursor += 1
+        if tok == ">":
+            cursor += 1
+            doomed.add(cursor)
+    return [b for i, b in enumerate(bboxes) if i not in doomed]
+
+
+def check_bbox_sync(html_seq, bboxes):
+    """Return ``(in_sync, possibly_repaired_bboxes)``
+    (tf_predictor.py:255-278)."""
+    expected = count_expected_cells(html_seq)
+    if len(bboxes) != expected:
+        return False, repair_bbox_desync(html_seq, bboxes)
+    return True, list(bboxes)

@@ -1,0 +1,516 @@
+"""Matching post-processor: refine table-cell <-> pdf-cell matches.
+
+Behavioral re-expression of the reference's 10-step pipeline
+(``tableformer-docling/.../data_management/matching_post_processor.py``,
+canonical step list at 1140-1190):
+
+  -1. if no matches, generate intersection-over-pdf matches
+   0. minimal grid dimensions (cols/rows/max cell id)
+   1. good/bad cell split per column (good = has a match)
+   2. column alignment (left/middle/right) from min-max deltas
+   3. exact median x/y/width/height per column over good cells
+   4. move bad cells to the column's median anchor
+   5. re-run intersection matching on the fixed cells
+   7. de-duplicate adjacent columns whose matched pdf-cell sets overlap
+   8. final assignment: keep the max-iopdf match per pdf cell
+   8a. align matched cell bboxes to their pdf cells (skip when >300 pdf cells)
+   9. orphan pickup via row/column band joins
+  10. (optional) push apart overlapping cell bboxes (skip when >300 cells)
+
+Spark mapping: steps 0-3 are group-by aggregations (A1-A3), 4 a projected
+rewrite (A4), 5 the J1 theta join, 7 an adjacent-column self-join (J8),
+8 a max-by-per-key (A6), 9 interval/band joins (J5-J7).  At 100 TB scale
+the *outer* parallelism is per turn inside ``applyInPandas``; within a
+turn the candidate sets are tiny, so this stays as straight-line Python
+over one turn's arrays.  Parity is pinned by
+``tests/test_postprocess.py`` golden files generated from the reference
+library.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+
+from .cells import intersection_over_pdf_match
+
+
+def drop_empty_text_cells(pdf_cells):
+    """Remove pdf cells whose text is the empty string (reference P6)."""
+    return [c for c in pdf_cells if c["text"] != ""]
+
+
+def table_dimensions(table_cells):
+    """(columns, rows, max_cell_id) of the minimal grid (step 0)."""
+    columns = rows = 1
+    max_cell_id = 0
+    for cell in table_cells:
+        columns = max(columns, cell["column_id"])
+        rows = max(rows, cell["row_id"])
+        max_cell_id = max(max_cell_id, cell["cell_id"])
+    return columns + 1, rows + 1, max_cell_id
+
+
+def rematch(table_cells, pdf_cells):
+    """Step 5: fresh intersection matches, JSON round-tripped so pdf-cell
+    keys become strings (parity with matching_post_processor.py:378-385 —
+    string keys are part of the output contract)."""
+    matches, _ = intersection_over_pdf_match(table_cells, pdf_cells)
+    return json.loads(json.dumps(matches))
+
+
+def split_good_bad_in_column(table_cells, column, matches):
+    """Step 1: cells in ``column`` with at least one match vs without.
+
+    parity: the reference's ``allow_class`` flag latches False once a cell
+    with ``cell_class <= 1`` is seen *while scanning matches for that
+    cell* (matching_post_processor.py:93-103); the net effect is that
+    empty-class cells never collect matches and land in the bad list.
+    """
+    good, bad = [], []
+    for cell in table_cells:
+        if cell["column_id"] != column:
+            continue
+        matched = False
+        if cell.get("cell_class", 2) > 1:
+            cid = cell["cell_id"]
+            for match_list in matches.values():
+                if any(m["table_cell_id"] == cid for m in match_list):
+                    matched = True
+        # parity: a cell matched by k pdf cells is appended k times
+        count = 0
+        if matched:
+            for match_list in matches.values():
+                count += sum(1 for m in match_list if m["table_cell_id"] == cell["cell_id"])
+            good.extend([cell] * count)
+        else:
+            bad.append(cell)
+    return good, bad
+
+
+def column_alignment(cells):
+    """Step 2: smallest min-max delta of left/middle/right edges wins."""
+    if not cells:
+        return "left"
+    lefts = [c["bbox"][0] for c in cells]
+    rights = [c["bbox"][2] for c in cells]
+    middles = [(left + right) / 2 for left, right in zip(lefts, rights)]
+    deltas = [
+        max(lefts) - min(lefts),
+        max(middles) - min(middles),
+        max(rights) - min(rights),
+    ]
+    return ("left", "middle", "right")[deltas.index(min(deltas))]
+
+
+def column_medians(cells, alignment):
+    """Step 3: exact medians of anchor-x, y, width, height over good,
+    non-span, non-empty cells.  Exact ``statistics.median`` — never an
+    approximate percentile — because parity depends on it (A3)."""
+    xs, ys, ws, hs = [], [], [], []
+    for cell in cells:
+        if "rowspan_val" in cell or "colspan_val" in cell:
+            continue
+        if cell["cell_class"] <= 1:
+            continue
+        x1, y1, x2, y2 = cell["bbox"]
+        anchor = x1
+        if alignment == "middle":
+            anchor = (x2 + x1) / 2
+        elif alignment == "right":
+            anchor = x2
+        xs.append(anchor)
+        ys.append(y1)
+        ws.append(x2 - x1)
+        hs.append(y2 - y1)
+    return (
+        statistics.median(xs) if xs else 0,
+        statistics.median(ys) if ys else 0,
+        statistics.median(ws) if ws else 1,
+        statistics.median(hs) if hs else 1,
+    )
+
+
+def move_cells_to_anchor(cells, median_x, rescale, median_w, median_h, alignment):
+    """Step 4: rewrite bad cells' bboxes onto the column's median anchor.
+
+    ``rescale`` also snaps the cell size to the column median; the
+    reference ships with rescale disabled
+    (matching_post_processor.py:1263-1265) but the branch is kept."""
+    out = []
+    for cell in cells:
+        x1, y1, x2, y2 = cell["bbox"]
+        width = x2 - x1
+        new_x1, new_y1, new_x2, new_y2 = median_x, y1, median_x + width, y2
+        if rescale:
+            new_x2 = median_x + median_w
+            new_y2 = y1 + median_h
+        if alignment == "middle":
+            new_x1 = median_x - width / 2
+            new_x2 = new_x1 + width
+            if rescale:
+                new_x1 = median_x - median_w / 2
+                new_x2 = median_x + median_w / 2
+        if alignment == "right":
+            new_x1 = median_x - width
+            new_x2 = median_x
+            if rescale:
+                new_x1 = median_x - median_w
+        new_cell = {
+            "bbox": [new_x1, new_y1, new_x2, new_y2],
+            "cell_id": cell["cell_id"],
+            "column_id": cell["column_id"],
+            "label": cell["label"],
+            "row_id": cell["row_id"],
+            "cell_class": cell["cell_class"],
+        }
+        if "rowspan_val" in cell:
+            new_cell["rowspan_val"] = cell["rowspan_val"]
+        if "colspan_val" in cell:
+            new_cell["colspan_val"] = cell["colspan_val"]
+        out.append(new_cell)
+    return out
+
+
+def deduplicate_columns(tab_columns, table_cells, first_matches, ioc_matches):
+    """Step 7: drop the weaker of two adjacent columns whose matched
+    pdf-cell sets overlap by more than 60%.
+
+    Scores: sum of iou/iopdf over both match sets per column (A5/SO2/J8).
+    Returns (table_cells, matches, column_count) with eliminated columns'
+    cells removed from ``ioc_matches``; surviving columns keep their ids
+    (parity: the reference does NOT re-number ``column_id`` here).
+    """
+    per_col_pdf_ids = []
+    per_col_score = []
+    for col in range(tab_columns):
+        col_cell_ids = [c["cell_id"] for c in table_cells if c["column_id"] == col]
+        score = 0.0
+        ids_first, ids_ioc = [], []
+        for key, match_list in first_matches.items():
+            for m in match_list:
+                if m["table_cell_id"] in col_cell_ids:
+                    score += m.get("iou", m.get("iopdf", 0))
+                    ids_first.append(key)
+        for key, match_list in ioc_matches.items():
+            for m in match_list:
+                if m["table_cell_id"] in col_cell_ids:
+                    score += m["iopdf"]
+                    ids_ioc.append(key)
+        merged = ids_first + list(set(ids_ioc) - set(ids_first))
+        per_col_pdf_ids.append(list({int(x) for x in merged}))
+        per_col_score.append(score)
+
+    doomed_cols = []
+    for col in range(tab_columns - 1):
+        a, b = per_col_pdf_ids[col], per_col_pdf_ids[col + 1]
+        overlap = len(set(a) & set(b)) / len(a) if a else 0
+        if overlap > 0.6:
+            if per_col_score[col] >= per_col_score[col + 1]:
+                doomed_cols.append(col + 1)
+            else:
+                doomed_cols.append(col)
+
+    doomed_cell_ids = []
+    kept_cells = []
+    for cell in table_cells:
+        if cell["column_id"] in doomed_cols:
+            doomed_cell_ids.append(cell["cell_id"])
+        else:
+            kept_cells.append(cell)
+
+    kept_matches = {}
+    for key, match_list in ioc_matches.items():
+        kept = [m for m in match_list if m["table_cell_id"] not in doomed_cell_ids]
+        if kept:
+            kept_matches[key] = kept
+    return kept_cells, kept_matches, tab_columns - len(doomed_cols)
+
+
+def final_assignment(ioc_matches):
+    """Step 8: per pdf cell keep the single match with max iopdf (A6);
+    ties resolve to the first maximum, matching ``max``."""
+    return {
+        key: [max(match_list, key=lambda m: m["iopdf"])]
+        for key, match_list in ioc_matches.items()
+    }
+
+
+def align_cells_to_pdf(table_cells, pdf_cells, matches):
+    """Step 8a: snap matched table-cell bboxes onto their pdf cells; a
+    cell matched by several pdf cells gets the union bbox (A7).
+
+    parity: only cells that appear in ``matches`` survive this step
+    (matching_post_processor.py:470-535); unmatched cells are dropped,
+    and output order follows the matches iteration order.
+    """
+    pdf_bbox_by_id = {p["id"]: p["bbox"] for p in pdf_cells}
+    cell_by_id = {c["cell_id"]: c for c in table_cells}
+
+    snapped = []
+    for pdf_cell_id, match_list in matches.items():
+        cell_ids = set(int(m["table_cell_id"]) for m in match_list)
+        pdf_bbox = pdf_bbox_by_id.get(int(pdf_cell_id))
+        if not pdf_bbox:
+            continue
+        for cid in cell_ids:
+            cell = cell_by_id.get(cid)
+            if not cell:
+                continue
+            clone = cell.copy()
+            clone["bbox"] = list(pdf_bbox)
+            if "cell_class" not in clone:
+                clone["cell_class"] = "2"
+            snapped.append(clone)
+
+    bboxes_per_cell = {}
+    for cell in snapped:
+        bboxes_per_cell.setdefault(cell["cell_id"], []).append(cell["bbox"])
+
+    merged, seen = [], set()
+    for cell in snapped:
+        cid = cell["cell_id"]
+        if cid in seen:
+            continue
+        boxes = bboxes_per_cell[cid]
+        if len(boxes) > 1:
+            cell["bbox"] = [
+                min(b[0] for b in boxes),
+                min(b[1] for b in boxes),
+                max(b[2] for b in boxes),
+                max(b[3] for b in boxes),
+            ]
+        merged.append(cell)
+        seen.add(cid)
+    return merged
+
+
+def _merge_bboxes(a, b):
+    return [min(a[0], b[0]), min(a[1], b[1]), max(a[2], b[2]), max(a[3], b[3])]
+
+
+def _band_assign(pdf_cells, matches, bands, lo_idx, hi_idx):
+    """Shared band join for rows (y axis) and columns (x axis): assign
+    each orphan pdf cell to the band containing either bbox edge (or
+    spanning it); duplicates resolve to the smaller centroid depth
+    (J5/J6/W4).
+
+    ``bands``: list of (band_lo, band_hi) per row/column id.
+    Returns {pdf_str_id: (band_id, depth, bbox)} in insertion order.
+    """
+    assigned = {}  # pdf_str_id -> [band_id, depth, bbox]
+    for band_id, (lo, hi) in enumerate(bands):
+        for pdf_cell in pdf_cells:
+            key = str(pdf_cell["id"])
+            if key in matches:
+                continue
+            c_lo = pdf_cell["bbox"][lo_idx]
+            c_hi = pdf_cell["bbox"][hi_idx]
+            inside = (
+                (lo <= c_lo <= hi)
+                or (lo <= c_hi <= hi)
+                or (c_lo <= lo and c_hi >= hi)
+            )
+            if not inside:
+                continue
+            depth = round(abs((hi + lo) / 2 - (c_hi + c_lo) / 2))
+            prior = assigned.get(key)
+            if prior is None or depth < prior[1]:
+                assigned[key] = [band_id, depth, pdf_cell["bbox"]]
+    return assigned
+
+
+def _col_band_assign(pdf_cells, matches, bands):
+    """Column variant: the spanning test uses strict inequalities
+    (matching_post_processor.py:955 ``<``/``>`` vs rows' ``<=``/``>=``)."""
+    assigned = {}
+    for band_id, (lo, hi) in enumerate(bands):
+        for pdf_cell in pdf_cells:
+            key = str(pdf_cell["id"])
+            if key in matches:
+                continue
+            c_lo = pdf_cell["bbox"][0]
+            c_hi = pdf_cell["bbox"][2]
+            inside = (
+                (lo <= c_lo <= hi)
+                or (lo <= c_hi <= hi)
+                or (c_lo < lo and c_hi > hi)
+            )
+            if not inside:
+                continue
+            depth = round(abs((hi + lo) / 2 - (c_hi + c_lo) / 2))
+            prior = assigned.get(key)
+            if prior is None or depth < prior[1]:
+                assigned[key] = [band_id, depth, pdf_cell["bbox"]]
+    return assigned
+
+
+def pick_orphans(tab_rows, tab_cols, max_cell_id, table_cells, pdf_cells, matches):
+    """Step 9: band-join orphan pdf cells into the grid.
+
+    Row bands: [min y1, max y2] over non-rowspan, non-empty cells per
+    row; column bands likewise on x over non-colspan cells.  An orphan
+    gets (row from the row band, column from the column band); the match
+    lands on the existing structural cell at that grid slot (bbox merged)
+    or on a freshly minted cell.  Orphans are processed in ascending
+    pdf-id order (parity with the C++-compat sort,
+    matching_post_processor.py:1022-1035).
+    """
+    row_bands = []
+    for row in range(tab_rows):
+        y1s, y2s = [], []
+        for cell in table_cells:
+            if (
+                cell["row_id"] == row
+                and "rowspan_val" not in cell
+                and cell["cell_class"] > 1
+            ):
+                y1s.append(cell["bbox"][1])
+                y2s.append(cell["bbox"][3])
+        row_bands.append((min(y1s) if y1s else -1, max(y2s) if y2s else -1))
+
+    col_bands = []
+    for col in range(tab_cols):
+        x1s, x2s = [], []
+        for cell in table_cells:
+            if (
+                cell["column_id"] == col
+                and "colspan_val" not in cell
+                and cell["cell_class"] > 1
+            ):
+                x1s.append(cell["bbox"][0])
+                x2s.append(cell["bbox"][2])
+        col_bands.append((min(x1s) if x1s else -1, max(x2s) if x2s else -1))
+
+    row_assign = _band_assign(pdf_cells, matches, row_bands, 1, 3)
+    col_assign = _col_band_assign(pdf_cells, matches, col_bands)
+
+    for pdf_id_int in sorted(int(k) for k in row_assign):
+        key = str(pdf_id_int)
+        if key not in col_assign:
+            continue
+        row_id = row_assign[key][0]
+        col_id, depth, pdf_bbox = col_assign[key]
+
+        slot = [
+            c for c in table_cells
+            if c["row_id"] == row_id and c["column_id"] == col_id
+        ]
+        if slot:
+            target_id = slot[0]["cell_id"]
+            for cell in table_cells:
+                if cell["cell_id"] == target_id:
+                    cell["bbox"] = _merge_bboxes(cell["bbox"], pdf_bbox)
+        else:
+            max_cell_id += 1
+            target_id = max_cell_id
+            table_cells.append(
+                {
+                    "bbox": pdf_bbox,
+                    "cell_id": target_id,
+                    "column_id": col_id,
+                    "label": "body",
+                    "row_id": row_id,
+                    "cell_class": 2,
+                }
+            )
+        matches[key] = [{"post": depth, "table_cell_id": target_id}]
+    return matches, table_cells, max_cell_id
+
+
+def push_apart_overlaps(table_cells):
+    """Step 10 (optional): sequential pairwise pass shrinking overlapping
+    bboxes apart along the smaller-overlap axis (F9,
+    matching_post_processor.py:387-468).  Mutates in pair order — the
+    result is order-dependent by design."""
+
+    def separate(b1, b2):
+        ox = min(b1[2], b2[2]) - max(b1[0], b2[0])
+        oy = min(b1[3], b2[3]) - max(b1[1], b2[1])
+        if ox <= 0 or oy <= 0:
+            return
+        import math
+
+        if ox < oy:
+            if b1[0] < b2[0]:
+                b1[2] -= math.ceil(ox / 2) + 2
+                b2[0] += math.floor(ox / 2)
+            else:
+                b2[2] -= math.ceil(ox / 2) + 2
+                b1[0] += math.floor(ox / 2)
+        else:
+            if b1[1] < b2[1]:
+                b1[3] -= math.ceil(oy / 2) + 2
+                b2[1] += math.floor(oy / 2)
+            else:
+                b2[3] -= math.ceil(oy / 2) + 2
+                b1[1] += math.floor(oy / 2)
+        b1[:] = [min(b1[0], b1[2]), min(b1[1], b1[3]), max(b1[0], b1[2]), max(b1[1], b1[3])]
+        b2[:] = [min(b2[0], b2[2]), min(b2[1], b2[3]), max(b2[0], b2[2]), max(b2[1], b2[3])]
+
+    def overlapping(b1, b2):
+        return not (
+            b1[0] >= b2[2] or b1[2] <= b2[0] or b1[3] <= b2[1] or b1[1] >= b2[3]
+        )
+
+    for i in range(len(table_cells)):
+        for j in range(i + 1, len(table_cells)):
+            ci, cj = table_cells[i], table_cells[j]
+            if ci != cj and overlapping(ci["bbox"], cj["bbox"]):
+                separate(ci["bbox"], cj["bbox"])
+    return table_cells
+
+
+def process(matching_details, correct_overlapping_cells=False):
+    """Run the full post-processing chain on one turn's matching details.
+
+    Mirrors ``MatchingPostProcessor.process``
+    (matching_post_processor.py:1124-1374) including its cost guards:
+    bbox re-alignment is skipped above 300 pdf cells and overlap
+    correction above 300 table cells.
+    """
+    table_cells = matching_details["table_cells"]
+    pdf_cells = drop_empty_text_cells(matching_details["pdf_cells"])
+    matches = matching_details["matches"]
+
+    if not matches:
+        matches = rematch(table_cells, pdf_cells)
+
+    tab_columns, tab_rows, max_cell_id = table_dimensions(table_cells)
+
+    fixed_cells = []
+    for col in range(tab_columns):
+        good, bad = split_good_bad_in_column(table_cells, col, matches)
+        alignment = column_alignment(good)
+        median_x, _, median_w, median_h = column_medians(good, alignment)
+        moved = move_cells_to_anchor(bad, median_x, False, median_w, median_h, alignment)
+        fixed_cells.extend(good)
+        fixed_cells.extend(moved)
+
+    fixed_cells.sort(key=lambda c: c["cell_id"])
+
+    ioc_matches = rematch(fixed_cells, pdf_cells)
+
+    dedup_cells, dedup_matches, _ = deduplicate_columns(
+        tab_columns, fixed_cells, matches, ioc_matches
+    )
+
+    final = final_assignment(dedup_matches)
+
+    dedup_cells.sort(key=lambda c: c["cell_id"])
+    if len(pdf_cells) > 300:  # cost guard, parity with the reference
+        aligned = dedup_cells
+    else:
+        aligned = align_cells_to_pdf(dedup_cells, pdf_cells, final)
+
+    final, cells_out, max_cell_id = pick_orphans(
+        tab_rows, tab_columns, max_cell_id, aligned, pdf_cells, final
+    )
+
+    if correct_overlapping_cells and len(cells_out) <= 300:
+        cells_out = push_apart_overlaps(cells_out)
+
+    matching_details["table_cells"] = cells_out
+    matching_details["matches"] = final
+    matching_details["pdf_cells"] = pdf_cells
+    return matching_details
