@@ -1,0 +1,172 @@
+"""The extraction operator: transcripts DataFrame -> per-turn grid output.
+
+Scale design (the part that must survive 10^12 turns / 1000 executors):
+
+- **Narrow, shuffle-free map stage.** Per-turn extraction is
+  embarrassingly parallel, so it runs as ``mapInPandas`` directly over
+  the scan — no shuffle, no grouping.  Catalyst prunes the input to the
+  four columns the UDF declares (conv_id, turn_idx, text, tool); filter
+  pushdown on conv_id/ts reaches the parquet/Iceberg scan untouched.
+- **Arrow batches are the vectorization unit** (2048 rows/batch by
+  session default): JSON decode + the pure-Python per-sequence scans are
+  amortized per batch; no per-row Python in the Spark plan itself.
+- **Stable turn ordering** is an output-side concern: per-conversation
+  views order by ``turn_idx`` under a window partitioned by conv_id —
+  one shuffle, AQE skew-splitting enabled for mega-conversations, plus
+  explicit salting in ``conversation_summaries`` (two-phase agg).
+- **Lineage**: every output row carries payload_sha256 +
+  spark_partition_id for the checkpoint/metrics tables (plans/checkpoint).
+
+Reference lifecycle being re-expressed: tf_predictor.predict /
+predict_dummy + multi_table_predict (SURVEY §3.1-3.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+OUTPUT_SCHEMA = (
+    "conv_id string, turn_idx int, payload_id int, ok boolean, err string, "
+    "num_rows int, num_cols int, n_cells int, n_matches int, "
+    "bbox_sync boolean, square boolean, matched boolean, "
+    "rs_seq array<string>, html_seq array<string>, "
+    "html_json string, html_sha256 string, tf_responses_json string, "
+    "payload_sha256 string"
+)
+
+
+def _extract_batches(batches: Iterator, correct_overlapping_cells: bool):
+    import pandas as pd
+
+    from ..core.pipeline import extract_turn
+
+    for batch in batches:
+        out = {key: [] for key in (
+            "conv_id", "turn_idx", "payload_id", "ok", "err", "num_rows",
+            "num_cols", "n_cells", "n_matches", "bbox_sync", "square",
+            "matched", "rs_seq", "html_seq", "html_json", "html_sha256",
+            "tf_responses_json", "payload_sha256",
+        )}
+        for conv_id, turn_idx, text, tool in zip(
+            batch["conv_id"], batch["turn_idx"], batch["text"], batch["tool"]
+        ):
+            out["conv_id"].append(conv_id)
+            out["turn_idx"].append(int(turn_idx))
+            payload_sha = hashlib.sha256(
+                (text + "\x00" + tool).encode("utf-8")
+            ).hexdigest()
+            out["payload_sha256"].append(payload_sha)
+            try:
+                payload = json.loads(text)
+                context = json.loads(tool)
+                payload.update(context)
+                out["payload_id"].append(context.get("payload_id", -1))
+                result = extract_turn(
+                    payload, correct_overlapping_cells=correct_overlapping_cells
+                )
+                html_json = json.dumps(result["html_seq"])
+                out["ok"].append(True)
+                out["err"].append(None)
+                out["num_rows"].append(result["num_rows"])
+                out["num_cols"].append(result["num_cols"])
+                out["n_cells"].append(result["n_cells"])
+                out["n_matches"].append(result["n_matches"])
+                out["bbox_sync"].append(result["bbox_sync"])
+                out["square"].append(result["square"])
+                out["matched"].append(result["matched"])
+                out["rs_seq"].append(result["rs_seq"])
+                out["html_seq"].append(result["html_seq"])
+                out["html_json"].append(html_json)
+                out["html_sha256"].append(
+                    hashlib.sha256(html_json.encode("utf-8")).hexdigest()
+                )
+                out["tf_responses_json"].append(json.dumps(result["tf_responses"]))
+            except Exception as exc:  # per-turn isolation: bad payloads
+                out["payload_id"].append(-1)
+                out["ok"].append(False)
+                out["err"].append(f"{type(exc).__name__}: {exc}"[:500])
+                for key in (
+                    "num_rows", "num_cols", "n_cells", "n_matches",
+                ):
+                    out[key].append(0)
+                for key in ("bbox_sync", "square", "matched"):
+                    out[key].append(False)
+                out["rs_seq"].append([])
+                out["html_seq"].append([])
+                out["html_json"].append("[]")
+                out["html_sha256"].append(None)
+                out["tf_responses_json"].append("[]")
+        yield pd.DataFrame(out)
+
+
+def extract_transcripts(df, correct_overlapping_cells: bool = False):
+    """transcripts (conv_id, turn_idx, role, text, tool, ts[, payload_id])
+    -> per-turn extraction output.  Narrow transformation: column-pruned
+    scan feeding one mapInPandas stage."""
+    pruned = df.select("conv_id", "turn_idx", "text", "tool")
+    return pruned.mapInPandas(
+        lambda it: _extract_batches(it, correct_overlapping_cells),
+        schema=OUTPUT_SCHEMA,
+    )
+
+
+def ordered_conversation_view(extracted):
+    """Per-conversation ordered view (W2: stable turn ordering): adds the
+    turn's rank within its conversation; one shuffle on conv_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    win = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return extracted.withColumn("turn_rank", F.row_number().over(win))
+
+
+def conversation_summaries(extracted, salt_buckets: int = 16):
+    """Conversation-level rollup with explicit skew salting: a two-phase
+    aggregation (partial per (conv_id, salt), then final per conv_id) so a
+    mega-conversation cannot pin one reducer.  AQE would also split the
+    skewed partition; the salt makes the plan robust even with AQE off.
+    """
+    from pyspark.sql import functions as F
+
+    salted = extracted.withColumn(
+        "salt", F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("conv_id", "salt").agg(
+        F.count("*").alias("turns"),
+        F.sum(F.col("n_cells").cast("long")).alias("cells"),
+        F.sum(F.col("n_matches").cast("long")).alias("matches"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("ok_turns"),
+        F.max("num_cols").alias("max_cols"),
+        F.max("num_rows").alias("max_rows"),
+    )
+    return partial.groupBy("conv_id").agg(
+        F.sum("turns").alias("turns"),
+        F.sum("cells").alias("cells"),
+        F.sum("matches").alias("matches"),
+        F.sum("ok_turns").alias("ok_turns"),
+        F.max("max_cols").alias("max_cols"),
+        F.max("max_rows").alias("max_rows"),
+    )
+
+
+def verify_against_pool(extracted, pool_df):
+    """Per-turn text-equality verdicts: broadcast-join the tiny payload
+    pool (expected html per payload) and compare hashes.  Returns the
+    extracted frame with ``html_match`` plus the expected hash."""
+    from pyspark.sql import functions as F
+
+    expected = pool_df.select(
+        F.col("payload_id").alias("exp_payload_id"),
+        "expected_html_sha",
+    )
+    joined = extracted.join(
+        F.broadcast(expected),
+        extracted["payload_id"] == expected["exp_payload_id"],
+        "left",
+    )
+    return joined.withColumn(
+        "html_match",
+        F.col("ok") & (F.col("html_sha256") == F.col("expected_html_sha")),
+    ).drop("exp_payload_id")

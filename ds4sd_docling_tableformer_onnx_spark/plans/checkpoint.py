@@ -1,0 +1,100 @@
+"""Stage checkpoint tables with per-partition lineage + idempotent resume.
+
+Re-expresses the reference's staged-export chain (SURVEY §3.3: each stage
+persists a snapshot keyed by SHA-256 and the next stage re-loads it) as
+checkpoint *tables*: one parquet/Iceberg table per stage keyed by
+``(conv_id, turn_idx, payload_sha256)``, carrying ``run_id``,
+``partition_id`` and extraction metrics.  A restarted job anti-joins the
+checkpoint to process only missing turns — idempotent resume without
+driver-side bookkeeping (north_rule).
+
+On a real cluster the writes below target Iceberg
+(``df.writeTo(table).using("iceberg").append()``, snapshot isolation
+giving exactly-once semantics per run_id); the sandbox ships the same
+logic over parquet directories in append mode.
+"""
+
+from __future__ import annotations
+
+CHECKPOINT_KEYS = ("conv_id", "turn_idx", "payload_sha256")
+
+
+def with_lineage(df, run_id: str, stage: str):
+    """Attach lineage columns: run id, stage name, physical partition."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("partition_id", F.spark_partition_id())
+    )
+
+
+def write_checkpoint(df, path: str, run_id: str, stage: str):
+    """Append this stage's output to its checkpoint table."""
+    with_lineage(df, run_id, stage).write.mode("append").parquet(path)
+
+
+def read_checkpoint(spark, path: str):
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def resume_filter(input_df, spark, checkpoint_path: str):
+    """Drop turns already present in the checkpoint (matched on conv_id,
+    turn_idx and the payload hash, so changed payloads re-run).
+
+    The anti-join shuffles both sides on the composite key; at 10^12-turn
+    scale the checkpoint side is bucketed on the same key in Iceberg so
+    the join is storage-partitioned (no shuffle of the big side).
+    """
+    from pyspark.sql import functions as F
+
+    done = read_checkpoint(spark, checkpoint_path)
+    if done is None:
+        return input_df, 0
+    done_keys = done.select("conv_id", "turn_idx", "payload_sha256").dropDuplicates()
+    hashed = input_df.withColumn(
+        "payload_sha256", F.sha2(F.concat_ws("\x00", "text", "tool"), 256)
+    )
+    remaining = hashed.join(done_keys, list(CHECKPOINT_KEYS), "left_anti")
+    return remaining.drop("payload_sha256"), done_keys.count()
+
+
+def partition_metrics(extracted):
+    """Per-partition extraction metrics (the reference's AggProfiler
+    analog, app_profiler.py:148-200): row counts, error counts, cells —
+    grouped by the physical partition that produced them."""
+    from pyspark.sql import functions as F
+
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum(F.when(F.col("ok"), 0).otherwise(1)).alias("errors"),
+            F.sum(F.col("n_cells").cast("long")).alias("cells"),
+            F.avg("n_cells").alias("avg_cells"),
+        )
+    )
+
+
+def run_with_checkpoint(
+    spark,
+    transcripts_df,
+    checkpoint_path: str,
+    run_id: str,
+    correct_overlapping_cells: bool = False,
+):
+    """Extraction with resume: skip checkpointed turns, extract the rest,
+    append to the checkpoint, return (new_rows_df, skipped_count)."""
+    from ..operators.extract import extract_transcripts
+
+    remaining, skipped = resume_filter(transcripts_df, spark, checkpoint_path)
+    extracted = extract_transcripts(
+        remaining, correct_overlapping_cells=correct_overlapping_cells
+    )
+    write_checkpoint(extracted, checkpoint_path, run_id, stage="extract")
+    return spark.read.parquet(checkpoint_path).where(f"run_id = '{run_id}'"), skipped
