@@ -122,34 +122,43 @@ def intersection_over_pdf_match(table_cells, pdf_cells):
     parallelism is per turn; within a turn the candidate sets are tiny
     (<= a few hundred), so the quadratic pairing stays in numpy/python.
     """
-    if not pdf_cells:
+    if not pdf_cells or not table_cells:
         return {}, 0
-    pdf_boxes = np.asarray([p["bbox"] for p in pdf_cells])
+    pdf_boxes = np.asarray([p["bbox"] for p in pdf_cells], dtype=np.float64)
     pdf_areas = (pdf_boxes[:, 2] - pdf_boxes[:, 0]) * (pdf_boxes[:, 3] - pdf_boxes[:, 1])
+    cell_boxes = np.asarray([c["bbox"] for c in table_cells], dtype=np.float64)
+
+    # Vectorized pairwise pass (the "numpy outer product" form of the
+    # per-turn nested loop — same float expressions, same order, so the
+    # scores are bit-identical to the scalar reference).
+    tx1, ty1 = cell_boxes[:, 0:1], cell_boxes[:, 1:2]
+    tx2, ty2 = cell_boxes[:, 2:3], cell_boxes[:, 3:4]
+    px1, py1 = pdf_boxes[:, 0], pdf_boxes[:, 1]
+    px2, py2 = pdf_boxes[:, 2], pdf_boxes[:, 3]
+
+    # parity: the reference's no-overlap predicate self-compares the pdf
+    # bbox in its last clause (b2[1] > b2[3], tf_cell_matcher.py:72)
+    separated = (tx2 < px1) | (px2 < tx1) | (ty1 > py2) | (py1 > py2)
+    inter_w = np.minimum(tx2, px2) - np.maximum(tx1, px1)
+    inter_h = np.minimum(ty2, py2) - np.maximum(ty1, py1)
+    inter_area = inter_w * inter_h
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iopdf = np.where(pdf_areas > 0, inter_area / pdf_areas, 0.0)
+    keep = (~separated) & (iopdf > 0)
 
     matches = {}
     counter = 0
-    for cell in table_cells:
-        t_id = cell["cell_id"]
-        t_box = cell["bbox"]
-        for j, pdf_cell in enumerate(pdf_cells):
-            p_id = pdf_cell["id"]
-            inter = bbox_intersection(t_box, pdf_cell["bbox"])
-            if inter is None:
-                continue
-            inter_area = (inter[2] - inter[0]) * (inter[3] - inter[1])
-            iopdf = 0
-            if float(pdf_areas[j]) > 0:
-                iopdf = inter_area / float(pdf_areas[j])
-            if iopdf > 0:
-                match = {"table_cell_id": t_id, "iopdf": iopdf}
-                existing = matches.get(p_id)
-                if existing is None:
-                    matches[p_id] = [match]
-                    counter += 1
-                elif match not in existing:
-                    existing.append(match)
-                    counter += 1
+    cell_idx, pdf_idx = np.nonzero(keep)
+    for i, j in zip(cell_idx.tolist(), pdf_idx.tolist()):
+        p_id = pdf_cells[j]["id"]
+        match = {"table_cell_id": table_cells[i]["cell_id"], "iopdf": float(iopdf[i, j])}
+        existing = matches.get(p_id)
+        if existing is None:
+            matches[p_id] = [match]
+            counter += 1
+        elif match not in existing:
+            existing.append(match)
+            counter += 1
     return matches, counter
 
 

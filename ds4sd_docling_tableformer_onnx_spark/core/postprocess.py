@@ -59,29 +59,35 @@ def rematch(table_cells, pdf_cells):
     return json.loads(json.dumps(matches))
 
 
-def split_good_bad_in_column(table_cells, column, matches):
+def _match_counts(matches):
+    """table_cell_id -> number of match entries across all pdf cells."""
+    counts = {}
+    for match_list in matches.values():
+        for m in match_list:
+            cid = m["table_cell_id"]
+            counts[cid] = counts.get(cid, 0) + 1
+    return counts
+
+
+def split_good_bad_in_column(table_cells, column, matches, counts=None):
     """Step 1: cells in ``column`` with at least one match vs without.
 
-    parity: the reference's ``allow_class`` flag latches False once a cell
-    with ``cell_class <= 1`` is seen *while scanning matches for that
-    cell* (matching_post_processor.py:93-103); the net effect is that
-    empty-class cells never collect matches and land in the bad list.
+    parity notes (matching_post_processor.py:61-112):
+    - a cell with ``cell_class <= 1`` never collects matches (the
+      reference's ``allow_class`` latch) and lands in the bad list;
+    - a cell matched by k match entries is appended k times — the
+      duplicates deliberately weight the column medians downstream.
     """
+    if counts is None:
+        counts = _match_counts(matches)
     good, bad = [], []
     for cell in table_cells:
         if cell["column_id"] != column:
             continue
-        matched = False
-        if cell.get("cell_class", 2) > 1:
-            cid = cell["cell_id"]
-            for match_list in matches.values():
-                if any(m["table_cell_id"] == cid for m in match_list):
-                    matched = True
-        # parity: a cell matched by k pdf cells is appended k times
         count = 0
-        if matched:
-            for match_list in matches.values():
-                count += sum(1 for m in match_list if m["table_cell_id"] == cell["cell_id"])
+        if cell.get("cell_class", 2) > 1:
+            count = counts.get(cell["cell_id"], 0)
+        if count:
             good.extend([cell] * count)
         else:
             bad.append(cell)
@@ -479,8 +485,9 @@ def process(matching_details, correct_overlapping_cells=False):
     tab_columns, tab_rows, max_cell_id = table_dimensions(table_cells)
 
     fixed_cells = []
+    counts = _match_counts(matches)
     for col in range(tab_columns):
-        good, bad = split_good_bad_in_column(table_cells, col, matches)
+        good, bad = split_good_bad_in_column(table_cells, col, matches, counts)
         alignment = column_alignment(good)
         median_x, _, median_w, median_h = column_medians(good, alignment)
         moved = move_cells_to_anchor(bad, median_x, False, median_w, median_h, alignment)

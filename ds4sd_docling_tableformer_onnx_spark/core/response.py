@@ -60,6 +60,9 @@ def matched_response(table_cells, matches):
       only when the set has one element (the practical case after final
       assignment, where each pdf cell has exactly one match).
     """
+    cell_by_id = {}
+    for tc in table_cells:
+        cell_by_id.setdefault(tc["cell_id"], tc)  # first occurrence wins
     out = []
     for pdf_cell_id, match_list in matches.items():
         cell = {
@@ -79,11 +82,9 @@ def matched_response(table_cells, matches):
         }
         row_ids, col_ids, labels = set(), set(), set()
         for match in match_list:
-            target = match["table_cell_id"]
-            found = [c for c in table_cells if c["cell_id"] == target]
-            if not found:
+            tc = cell_by_id.get(match["table_cell_id"])
+            if tc is None:
                 continue
-            tc = found[0]
             row_ids.add(tc["row_id"])
             col_ids.add(tc["column_id"])
             labels.add(tc["label"])
@@ -118,6 +119,9 @@ def merge_output(docling_output, pdf_cells):
     """Merge response cells into one output cell per (col, row) start
     slot, accumulating matched pdf-cell text bboxes; reference
     ``_merge_tf_output`` (tf_predictor.py:378-434)."""
+    pdf_by_id = {}
+    for pdf_cell in pdf_cells:
+        pdf_by_id.setdefault(pdf_cell["id"], pdf_cell)
     merged = {}
     for item in docling_output:
         key = f"{item['start_col_offset_idx']}_{item['start_row_offset_idx']}"
@@ -136,17 +140,17 @@ def merge_output(docling_output, pdf_cells):
                 "row_header": item["row_header"],
                 "row_section": item["row_section"],
             }
-        for pdf_cell in pdf_cells:
-            if pdf_cell["id"] == item["cell_id"]:
-                merged[key]["text_cell_bboxes"].append(
-                    {
-                        "b": pdf_cell["bbox"][3],
-                        "l": pdf_cell["bbox"][0],
-                        "r": pdf_cell["bbox"][2],
-                        "t": pdf_cell["bbox"][1],
-                        "token": pdf_cell["text"],
-                    }
-                )
+        pdf_cell = pdf_by_id.get(item["cell_id"])
+        if pdf_cell is not None:
+            merged[key]["text_cell_bboxes"].append(
+                {
+                    "b": pdf_cell["bbox"][3],
+                    "l": pdf_cell["bbox"][0],
+                    "r": pdf_cell["bbox"][2],
+                    "t": pdf_cell["bbox"][1],
+                    "token": pdf_cell["text"],
+                }
+            )
     return list(merged.values())
 
 

@@ -32,22 +32,35 @@ OUTPUT_SCHEMA = (
     "num_rows int, num_cols int, n_cells int, n_matches int, "
     "bbox_sync boolean, square boolean, matched boolean, "
     "rs_seq array<string>, html_seq array<string>, "
-    "html_json string, html_sha256 string, tf_responses_json string, "
+    "html_sha256 string, tf_responses_json string, "
     "payload_sha256 string"
 )
 
+# lean variant: hashes + metrics only (for throughput-critical passes
+# where the full grids live in the checkpoint table of a later stage)
+LEAN_SCHEMA = (
+    "conv_id string, turn_idx int, payload_id int, ok boolean, err string, "
+    "num_rows int, num_cols int, n_cells int, n_matches int, "
+    "bbox_sync boolean, square boolean, matched boolean, "
+    "html_sha256 string, tf_responses_sha256 string, payload_sha256 string"
+)
 
-def _extract_batches(batches: Iterator, correct_overlapping_cells: bool):
+
+def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: bool = False):
     import pandas as pd
 
     from ..core.pipeline import extract_turn
 
+    payload_cols = (
+        ("html_sha256", "tf_responses_sha256")
+        if lean
+        else ("rs_seq", "html_seq", "html_sha256", "tf_responses_json")
+    )
     for batch in batches:
         out = {key: [] for key in (
             "conv_id", "turn_idx", "payload_id", "ok", "err", "num_rows",
             "num_cols", "n_cells", "n_matches", "bbox_sync", "square",
-            "matched", "rs_seq", "html_seq", "html_json", "html_sha256",
-            "tf_responses_json", "payload_sha256",
+            "matched", *payload_cols, "payload_sha256",
         )}
         for conv_id, turn_idx, text, tool in zip(
             batch["conv_id"], batch["turn_idx"], batch["text"], batch["tool"]
@@ -76,13 +89,18 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool):
                 out["bbox_sync"].append(result["bbox_sync"])
                 out["square"].append(result["square"])
                 out["matched"].append(result["matched"])
-                out["rs_seq"].append(result["rs_seq"])
-                out["html_seq"].append(result["html_seq"])
-                out["html_json"].append(html_json)
                 out["html_sha256"].append(
                     hashlib.sha256(html_json.encode("utf-8")).hexdigest()
                 )
-                out["tf_responses_json"].append(json.dumps(result["tf_responses"]))
+                tf_json = json.dumps(result["tf_responses"])
+                if lean:
+                    out["tf_responses_sha256"].append(
+                        hashlib.sha256(tf_json.encode("utf-8")).hexdigest()
+                    )
+                else:
+                    out["rs_seq"].append(result["rs_seq"])
+                    out["html_seq"].append(result["html_seq"])
+                    out["tf_responses_json"].append(tf_json)
             except Exception as exc:  # per-turn isolation: bad payloads
                 out["payload_id"].append(-1)
                 out["ok"].append(False)
@@ -93,22 +111,38 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool):
                     out[key].append(0)
                 for key in ("bbox_sync", "square", "matched"):
                     out[key].append(False)
-                out["rs_seq"].append([])
-                out["html_seq"].append([])
-                out["html_json"].append("[]")
                 out["html_sha256"].append(None)
-                out["tf_responses_json"].append("[]")
+                if lean:
+                    out["tf_responses_sha256"].append(None)
+                else:
+                    out["rs_seq"].append([])
+                    out["html_seq"].append([])
+                    out["tf_responses_json"].append("[]")
         yield pd.DataFrame(out)
 
 
-def extract_transcripts(df, correct_overlapping_cells: bool = False):
+def extract_transcripts(df, correct_overlapping_cells: bool = False, min_parallelism: int | None = None, lean: bool = False):
     """transcripts (conv_id, turn_idx, role, text, tool, ts[, payload_id])
     -> per-turn extraction output.  Narrow transformation: column-pruned
-    scan feeding one mapInPandas stage."""
+    scan feeding one mapInPandas stage.
+
+    The stage is CPU-bound per *row*, while Spark sizes input splits by
+    *bytes* — a highly-compressed scan can bundle into fewer splits than
+    cores and serialize the stage.  When the scan yields fewer partitions
+    than the cluster's parallelism, a cheap round-robin repartition
+    restores it (no-op on well-sized inputs; at petabyte scale the scan
+    naturally produces thousands of splits and no shuffle is added).
+    """
     pruned = df.select("conv_id", "turn_idx", "text", "tool")
+    if min_parallelism is None:
+        min_parallelism = 0  # measured: the repartition shuffle costs more
+        # than the imbalance it fixes on well-laid-out inputs; opt in for
+        # pathological single-file inputs only
+    if min_parallelism and pruned.rdd.getNumPartitions() < min_parallelism:
+        pruned = pruned.repartition(min_parallelism)
     return pruned.mapInPandas(
-        lambda it: _extract_batches(it, correct_overlapping_cells),
-        schema=OUTPUT_SCHEMA,
+        lambda it: _extract_batches(it, correct_overlapping_cells, lean),
+        schema=LEAN_SCHEMA if lean else OUTPUT_SCHEMA,
     )
 
 

@@ -1,0 +1,1086 @@
+"""Operator demonstration queries with DuckDB oracle SQL.
+
+One entry per operator family from SURVEY §2 plus the training-data
+pipeline operators (dedup / similarity / text analysis), each expressed
+twice:
+
+- a Spark DataFrame implementation (``QUERIES[name]`` — callable
+  ``(spark, sf_dir) -> DataFrame``), written plan-first: broadcast
+  joins for dims, window functions for ranking, built-in functions only
+  (no Python UDF in any oracle-checked query);
+- the equivalent ANSI SQL for DuckDB (``ORACLES[name]``).
+
+Column names are aliased identically on both sides (driver compares by
+sorted column name + value hash).  Float aggregates are rounded to fixed
+decimals on both sides so engine-order summation noise cannot flip the
+hash.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name, fn, oracle=None):
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _read(spark, sf_dir, table):
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Window / ordering family (W1-W5)
+# ---------------------------------------------------------------------------
+
+def q_dense_rank(spark, sf_dir):
+    """W1: gapless re-indexing — dense_rank per partition key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.dense_rank().over(win) - 1).alias("order_rank"),
+    )
+
+
+_register(
+    "dense_rank_reindex",
+    q_dense_rank,
+    """
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) - 1 AS order_rank
+    FROM orders
+    """,
+)
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W5/A6: top-3 orders per customer, deterministic tie-break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("price"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+_register(
+    "topk_per_group",
+    q_topk_per_group,
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+
+
+def q_max_by(spark, sf_dir):
+    """A6: max-by per key (final match assignment analog)."""
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    best = (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("best"))
+        .select(
+            "o_custkey",
+            F.col("best.o_orderkey").alias("best_order"),
+            F.round("best.o_totalprice", 4).alias("best_price"),
+        )
+    )
+    return best
+
+
+_register(
+    "max_by_per_key",
+    q_max_by,
+    """
+    SELECT o_custkey, o_orderkey AS best_order, round(o_totalprice, 4) AS best_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+
+
+def q_running_sum(spark, sf_dir):
+    """W3: running aggregate over an ordered stream (row segmentation
+    analog — the OTSL 'nl' running-count maps to the same window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(win), 4).alias("running_value"),
+    )
+
+
+_register(
+    "running_sum",
+    q_running_sum,
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+
+
+def q_sessionize(spark, sf_dir):
+    """W3 variant: session segmentation via gap > 30 min (running count
+    of boundaries — identical shape to OTSL row segmentation)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros, 1).over(win)
+    boundary = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sessioned = events.withColumn("boundary", boundary).withColumn(
+        "session_id",
+        F.sum("boundary").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+_register(
+    "sessionize",
+    q_sessionize,
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS boundary,
+               ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+        SELECT user_id, event_id, value,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (A1-A12)
+# ---------------------------------------------------------------------------
+
+def q_exact_median(spark, sf_dir):
+    """A3: exact median per group (parity-critical in the extraction
+    post-processor; percentile_approx would break it)."""
+    from pyspark.sql import functions as F
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+_register(
+    "exact_median_per_group",
+    q_exact_median,
+    """
+    SELECT l_returnflag,
+           round(median(l_quantity), 4) AS median_qty,
+           round(median(l_extendedprice), 4) AS median_price,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A1/A11 (TPC-H Q1 shape): wide aggregate per flag/status."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+_register(
+    "pricing_summary",
+    q_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+
+def q_filtered_revenue(spark, sf_dir):
+    """P6/P8 + pushdown (TPC-H Q6 shape): selective predicate reaching
+    the scan, single global aggregate."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+_register(
+    "filtered_revenue",
+    q_filtered_revenue,
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+
+
+def q_percentiles(spark, sf_dir):
+    """A11: avg / exact median / p95 per event type."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95_value"),
+    )
+
+
+_register(
+    "timing_percentiles",
+    q_percentiles,
+    """
+    SELECT event_type,
+           round(avg(value), 4) AS avg_value,
+           round(median(value), 4) AS median_value,
+           round(quantile_cont(value, 0.95), 4) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+def q_dim_join_rollup(spark, sf_dir):
+    """J3/J4: broadcast equi-join chain through the dims + rollup."""
+    from pyspark.sql import functions as F
+
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("long").alias("customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+_register(
+    "dim_join_rollup",
+    q_dim_join_rollup,
+    """
+    SELECT r_name, count(*) AS customers, round(avg(c_acctbal), 4) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Join family (J1/J2/J5-J8): theta, interval/band, adjacency self-join
+# ---------------------------------------------------------------------------
+
+def q_band_join(spark, sf_dir):
+    """J5/J6: interval (band) join — per-nation account-balance band from
+    customers, suppliers matched into the band (orphan pickup shape)."""
+    from pyspark.sql import functions as F
+
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    bands = customer.groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    joined = supplier.join(
+        F.broadcast(bands),
+        (supplier["s_nationkey"] == bands["c_nationkey"])
+        & (supplier["s_acctbal"] >= bands["lo"])
+        & (supplier["s_acctbal"] <= bands["hi"]),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("suppliers_in_band"),
+        F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+_register(
+    "band_join",
+    q_band_join,
+    """
+    WITH bands AS (
+        SELECT c_nationkey, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT s_nationkey, count(*) AS suppliers_in_band,
+           round(avg(s_acctbal), 4) AS avg_bal
+    FROM supplier JOIN bands
+      ON s_nationkey = c_nationkey AND s_acctbal BETWEEN lo AND hi
+    GROUP BY s_nationkey
+    """,
+)
+
+
+def q_interval_overlap(spark, sf_dir):
+    """J1/J2: theta join on interval overlap (the bbox intersection
+    predicate in one dimension), scored by overlap length (iopdf
+    analog: overlap / probe length)."""
+    from pyspark.sql import functions as F
+
+    part = _read(spark, sf_dir, "part")
+    supplier = _read(spark, sf_dir, "supplier")
+    p = part.select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_lo"),
+        (F.col("p_size") + 5.0).alias("p_hi"),
+    )
+    s = supplier.select(
+        "s_suppkey",
+        (F.pmod(F.col("s_suppkey"), F.lit(50)).cast("double")).alias("s_lo"),
+        (F.pmod(F.col("s_suppkey"), F.lit(50)) + 3.0).alias("s_hi"),
+    )
+    joined = p.join(
+        F.broadcast(s), (F.col("p_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("p_hi"))
+    )
+    overlap = F.least("p_hi", "s_hi") - F.greatest("p_lo", "s_lo")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("pairs"),
+        F.round(F.sum(overlap / 3.0), 4).alias("score"),
+    )
+
+
+_register(
+    "interval_theta_join",
+    q_interval_overlap,
+    """
+    WITH p AS (
+        SELECT p_partkey, p_brand, CAST(p_size AS DOUBLE) AS p_lo,
+               p_size + 5.0 AS p_hi
+        FROM part
+    ), s AS (
+        SELECT s_suppkey, CAST(s_suppkey % 50 AS DOUBLE) AS s_lo,
+               (s_suppkey % 50) + 3.0 AS s_hi
+        FROM supplier
+    )
+    SELECT p_brand, count(*) AS pairs,
+           round(sum((least(p_hi, s_hi) - greatest(p_lo, s_lo)) / 3.0), 4) AS score
+    FROM p JOIN s ON p_lo < s_hi AND s_lo < p_hi
+    GROUP BY p_brand
+    """,
+)
+
+
+def q_adjacent_overlap(spark, sf_dir):
+    """J8/SO2: adjacent-key self-join with set-intersection ratio (the
+    duplicate-column elimination shape): shared event types between
+    user u and u+1."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    sets = events.select("user_id", "event_type").distinct()
+    a = sets.alias("a")
+    b = sets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id") + 1)
+            & (F.col("b.event_type") == F.col("a.event_type")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_a"))
+        .agg(F.count("*").cast("long").alias("shared_types"))
+    )
+
+
+_register(
+    "adjacent_set_overlap",
+    q_adjacent_overlap,
+    """
+    WITH s AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.user_id AS user_a, count(*) AS shared_types
+    FROM s a JOIN s b
+      ON b.user_id = a.user_id + 1 AND b.event_type = a.event_type
+    GROUP BY a.user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function family (F1-F12)
+# ---------------------------------------------------------------------------
+
+def q_regexp_span(spark, sf_dir):
+    """F1/F2: span-attribute extraction — regexp over a constructed
+    colspan token (the reference's exact pattern)."""
+    from pyspark.sql import functions as F
+
+    part = _read(spark, sf_dir, "part")
+    token = F.concat(F.lit(' colspan="'), F.col("p_size").cast("string"), F.lit('"'))
+    return part.select(
+        "p_partkey",
+        token.alias("span_token"),
+        F.regexp_extract(token, '"([^"]*)"', 1).cast("int").alias("span_val"),
+    )
+
+
+_register(
+    "regexp_span_extract",
+    q_regexp_span,
+    """
+    SELECT p_partkey,
+           concat(' colspan="', CAST(p_size AS VARCHAR), '"') AS span_token,
+           CAST(regexp_extract(concat(' colspan="', CAST(p_size AS VARCHAR), '"'),
+                               '"([^"]*)"', 1) AS INT) AS span_val
+    FROM part
+    """,
+)
+
+
+def q_payload_digests(spark, sf_dir):
+    """F4: SHA-256 payload digests (the fixture equality contract)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha"),
+        F.md5(F.col("text")).alias("md5"),
+    )
+
+
+_register(
+    "payload_digests",
+    q_payload_digests,
+    """
+    SELECT doc_id, sha256(text) AS sha, md5(text) AS md5 FROM documents
+    """,
+)
+
+
+def q_bbox_iou(spark, sf_dir):
+    """F6-F8: bbox intersection / IoU arithmetic via greatest/least with
+    clipping — two synthetic boxes derived per lineitem row."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    ax1 = F.col("l_discount") * 100.0
+    ay1 = F.col("l_tax") * 100.0
+    ax2 = ax1 + F.col("l_quantity")
+    ay2 = ay1 + 10.0
+    bx1 = F.pmod(F.col("l_partkey").cast("double"), F.lit(10.0))
+    by1 = F.pmod(F.col("l_suppkey").cast("double"), F.lit(10.0))
+    bx2 = bx1 + 15.0
+    by2 = by1 + 8.0
+    iw = F.greatest(F.least(ax2, bx2) - F.greatest(ax1, bx1), F.lit(0.0))
+    ih = F.greatest(F.least(ay2, by2) - F.greatest(ay1, by1), F.lit(0.0))
+    inter = iw * ih
+    area_a = (ax2 - ax1) * (ay2 - ay1)
+    area_b = (bx2 - bx1) * (by2 - by1)
+    denominator = area_a + area_b - inter
+    iou = F.when(denominator > 0, inter / denominator).otherwise(F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(inter, 6).alias("inter_area"),
+        F.round(iou, 6).alias("iou"),
+    )
+
+
+_register(
+    "bbox_iou",
+    q_bbox_iou,
+    """
+    WITH boxes AS (
+        SELECT l_orderkey, l_linenumber,
+               l_discount * 100.0 AS ax1, l_tax * 100.0 AS ay1,
+               l_discount * 100.0 + l_quantity AS ax2, l_tax * 100.0 + 10.0 AS ay2,
+               CAST(l_partkey % 10 AS DOUBLE) AS bx1,
+               CAST(l_suppkey % 10 AS DOUBLE) AS by1,
+               CAST(l_partkey % 10 AS DOUBLE) + 15.0 AS bx2,
+               CAST(l_suppkey % 10 AS DOUBLE) + 8.0 AS by2
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(greatest(least(ax2,bx2)-greatest(ax1,bx1), 0.0)
+               * greatest(least(ay2,by2)-greatest(ay1,by1), 0.0), 6) AS inter_area,
+           round(CASE WHEN (ax2-ax1)*(ay2-ay1) + (bx2-bx1)*(by2-by1)
+                         - greatest(least(ax2,bx2)-greatest(ax1,bx1), 0.0)
+                         * greatest(least(ay2,by2)-greatest(ay1,by1), 0.0) > 0
+                 THEN greatest(least(ax2,bx2)-greatest(ax1,bx1), 0.0)
+                    * greatest(least(ay2,by2)-greatest(ay1,by1), 0.0)
+                    / ((ax2-ax1)*(ay2-ay1) + (bx2-bx1)*(by2-by1)
+                       - greatest(least(ax2,bx2)-greatest(ax1,bx1), 0.0)
+                       * greatest(least(ay2,by2)-greatest(ay1,by1), 0.0))
+                 ELSE 0.0 END, 6) AS iou
+    FROM boxes
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an of and or to in is are was for on with as at by it this that "
+    "de la le les el en un una und der die das et du il est "
+).split()
+
+_LANG_MARKERS = [
+    # (word, lang) heuristic marker table for n-gram-free language ID
+    ("the", "en"), ("and", "en"), ("of", "en"), ("is", "en"), ("with", "en"),
+    ("de", "es"), ("la", "es"), ("el", "es"), ("una", "es"), ("por", "es"),
+    ("le", "fr"), ("les", "fr"), ("est", "fr"), ("du", "fr"), ("avec", "fr"),
+    ("der", "de"), ("die", "de"), ("das", "de"), ("und", "de"), ("mit", "de"),
+    ("shi", "zh"), ("zai", "zh"), ("he", "zh"), ("wei", "zh"), ("you", "zh"),
+]
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish sub-token estimate
+    (chars/4 ceiling) — pure column expressions, no UDF."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    ws_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.cast("long").alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("bpe_est"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+_register(
+    "token_count",
+    q_token_count,
+    """
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length, mean word length, stopword ratio,
+    digit/punctuation density — the boilerplate/quality heuristics of a
+    training-data pipeline, expressed as one explode + rollup."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    )
+    stop = F.when(F.col("word").isin(_STOPWORDS), 1.0).otherwise(0.0)
+    per_doc = words.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.avg(F.length("word")), 4).alias("avg_word_len"),
+        F.round(F.avg(stop), 4).alias("stopword_ratio"),
+    )
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    flagged = docs.select(
+        "doc_id", F.round(digits / F.length("text"), 4).alias("digit_ratio")
+    )
+    return per_doc.join(flagged, "doc_id").select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "digit_ratio"
+    )
+
+
+_register(
+    "quality_score",
+    q_quality_score,
+    f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS n_words,
+               round(avg(length(word)), 4) AS avg_word_len,
+               round(avg(CASE WHEN word IN ({",".join("'" + w + "'" for w in _STOPWORDS)})
+                         THEN 1.0 ELSE 0.0 END), 4) AS stopword_ratio
+        FROM words GROUP BY doc_id
+    )
+    SELECT d.doc_id, n_words, avg_word_len, stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS digit_ratio
+    FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID: marker-word voting (broadcast dim join + argmax per
+    doc with deterministic tie-break)."""
+    from pyspark.sql import functions as F
+
+    spark_markers = spark.createDataFrame(_LANG_MARKERS, "word string, lang string")
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    votes = (
+        words.join(F.broadcast(spark_markers), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    best = votes.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("votes"), F.col("lang"))).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.lang").alias("pred_lang"), F.col("b.votes").alias("votes")
+    )
+
+
+_MARKER_VALUES = ",".join(f"('{w}','{lang}')" for w, lang in _LANG_MARKERS)
+
+_register(
+    "lang_id",
+    q_lang_id,
+    f"""
+    WITH markers(word, lang) AS (VALUES {_MARKER_VALUES}),
+    words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), votes AS (
+        SELECT doc_id, lang, count(*) AS votes
+        FROM words JOIN markers USING (word)
+        GROUP BY doc_id, lang
+    ), ranked AS (
+        SELECT doc_id, lang, votes,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY votes DESC, lang DESC) AS rn
+        FROM votes
+    )
+    SELECT doc_id, lang AS pred_lang, votes FROM ranked WHERE rn = 1
+    """,
+)
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: 3-minimum sketch over word hashes
+    (order-insensitive, dedup-friendly)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct()
+    return (
+        words.withColumn("h", F.md5("word"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws("|", F.slice(F.sort_array(F.collect_set("h")), 1, 3)).alias(
+                "fingerprint"
+            ),
+            F.count("*").cast("long").alias("vocab"),
+        )
+    )
+
+
+_register(
+    "doc_fingerprint",
+    q_fingerprint,
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, md5(word) AS h FROM words
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list(h))[1:3], '|') AS fingerprint,
+           count(*) AS vocab
+    FROM hashed GROUP BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-group on content digest, keep the minimum id
+    (the canonical representative), count the copies."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("copies"),
+        )
+    )
+
+
+_register(
+    "exact_dedup",
+    q_exact_dedup,
+    """
+    SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+
+
+_MINHASH_PERMS = 8  # seeded hash functions; 2 bands x 4 rows
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding over word shingles, no UDF: permutation i's
+    hash of a word is md5(i || word); the signature is the per-doc min of
+    each permutation; bands of 4 rows hash-concatenate into bucket keys;
+    docs sharing a band bucket are near-dup candidates."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct()
+    sigs = words.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i) + "#"), F.col("word")))).alias(f"m{i}")
+            for i in range(_MINHASH_PERMS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", "m0", "m1", "m2", "m3")).alias("band0"),
+        F.md5(F.concat_ws("|", "m4", "m5", "m6", "m7")).alias("band1"),
+    )
+    buckets = banded.select(
+        "doc_id", F.explode(F.array("band0", "band1")).alias("bucket")
+    )
+    pairs = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+_MINHASH_SIG_SQL = ",".join(
+    f"min(md5(concat('{i}#', word))) AS m{i}" for i in range(_MINHASH_PERMS)
+)
+
+_register(
+    "minhash_lsh_pairs",
+    q_minhash_lsh,
+    f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), sigs AS (
+        SELECT doc_id, {_MINHASH_SIG_SQL} FROM words GROUP BY doc_id
+    ), banded AS (
+        SELECT doc_id,
+               md5(concat_ws('|', m0, m1, m2, m3)) AS band0,
+               md5(concat_ws('|', m4, m5, m6, m7)) AS band1
+        FROM sigs
+    ), buckets AS (
+        SELECT doc_id, band0 AS bucket FROM banded
+        UNION ALL
+        SELECT doc_id, band1 AS bucket FROM banded
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+
+
+def q_word_jaccard(spark, sf_dir):
+    """N-gram/word-set Jaccard for candidate pairs: doc i vs doc i+250
+    (deterministic blocking keeps the pair count linear)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    shared = (
+        words.alias("a")
+        .join(
+            words.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 250)
+            & (F.col("b.word") == F.col("a.word")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    joined = (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n", "na")
+        .join(
+            sizes.select(
+                (F.col("doc_id") - 250).alias("doc_a"), F.col("n").alias("nb")
+            ),
+            "doc_a",
+        )
+    )
+    return joined.select(
+        "doc_a",
+        (F.col("doc_a") + 250).alias("doc_b"),
+        F.round(
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+        ).alias("jaccard"),
+    )
+
+
+_register(
+    "word_jaccard_pairs",
+    q_word_jaccard,
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, count(*) AS shared
+        FROM words a JOIN words b
+          ON b.doc_id = a.doc_id + 250 AND b.word = a.word
+        GROUP BY a.doc_id
+    )
+    SELECT s.doc_a, s.doc_a + 250 AS doc_b,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_a + 250
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    from pyspark.sql import functions as F
+
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs a fixed query vector (vec_id 0) —
+    the exact baseline every ANN variant is judged against.  The dot
+    product stays JVM-side via zip_with/aggregate."""
+    from pyspark.sql import functions as F
+
+    emb = _read(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("e", F.col("embedding").cast("array<double>"))
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("e").alias("q")
+    )
+    crossed = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
+    sim = _dot(F.col("e"), F.col("q")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("q"), F.col("q")))
+    )
+    return (
+        crossed.select("vec_id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_register(
+    "ann_cosine_topk",
+    q_ann_topk,
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], qe), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup: label-blocked candidate pairs with cosine
+    above 0.25, counted per label (blocked quadratic — the LSH-bucketed
+    variant in operators/similarity.py is the scale path)."""
+    from pyspark.sql import functions as F
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = _dot(F.col("a.e"), F.col("b.e")) / (
+        F.sqrt(_dot(F.col("a.e"), F.col("a.e")))
+        * F.sqrt(_dot(F.col("b.e"), F.col("b.e")))
+    )
+    return (
+        pairs.withColumn("cosine", sim)
+        .where(F.col("cosine") > 0.25)
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("neardup_pairs"),
+            F.round(F.avg("cosine"), 4).alias("avg_cosine"),
+        )
+    )
+
+
+_register(
+    "embedding_neardup",
+    q_embedding_neardup,
+    """
+    SELECT a.label AS label, count(*) AS neardup_pairs,
+           round(avg(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])), 4) AS avg_cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.25
+    GROUP BY a.label
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns)
+# ---------------------------------------------------------------------------
+
+def q_binary_meta(spark, sf_dir):
+    """Opaque binary payload + typed metadata: byte length and digest of
+    the encoded payload (decode itself is the stubbed pandas-UDF path in
+    operators/multimodal.py)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+    )
+
+
+_register(
+    "binary_payload_meta",
+    q_binary_meta,
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Driver-style side-by-side check: Spark queries vs DuckDB oracles.
+
+Compares row count, sorted-column schema and order-insensitive values
+(exact after the queries' own rounding).  Usage:
+    python scripts/check_oracles.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main(sf_dir="/root/testdata/sf0.01", *names):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ds4sd_docling_tableformer_onnx_spark.queries import ORACLES, QUERIES
+    from ds4sd_docling_tableformer_onnx_spark.session import build_session
+
+    spark = build_session(app_name="oracle-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for table in TABLES:
+        con.execute(
+            f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
+        )
+
+    selected = names or [n for n in QUERIES if n in ORACLES]
+    failures = 0
+    for name in selected:
+        try:
+            spark_df = QUERIES[name](spark, sf_dir).toPandas()
+            duck_df = con.execute(ORACLES[name]).fetchdf()
+        except Exception as exc:
+            print(f"FAIL {name}: {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        verdicts = []
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            verdicts.append(f"schema {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
+        if len(spark_df) != len(duck_df):
+            verdicts.append(f"rows {len(spark_df)} vs {len(duck_df)}")
+        if not verdicts:
+            cols = sorted(spark_df.columns)
+            a = spark_df[cols].sort_values(cols).reset_index(drop=True)
+            b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+            for col in cols:
+                av, bv = a[col].to_numpy(), b[col].to_numpy()
+                if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                    av = av.astype(float)
+                    bv = bv.astype(float)
+                    if not np.array_equal(av, bv, equal_nan=True):
+                        bad = np.nanmax(np.abs(av - bv))
+                        verdicts.append(f"col {col} max |diff| {bad}")
+                else:
+                    if not (av.astype(str) == bv.astype(str)).all():
+                        idx = int(np.argmax(av.astype(str) != bv.astype(str)))
+                        verdicts.append(f"col {col} differs e.g. {av[idx]!r} vs {bv[idx]!r}")
+        if verdicts:
+            print(f"FAIL {name}: " + "; ".join(verdicts))
+            failures += 1
+        else:
+            print(f"ok   {name} ({len(spark_df)} rows)")
+    print(f"{len(selected) - failures}/{len(selected)} queries match")
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(*sys.argv[1:]))
