@@ -33,6 +33,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
 
+# The synthetic transcript files compress to ~60 KB; size splits by rows,
+# not bytes, so every core gets work (a production scan of
+# uncompressed-text parquet needs no such override).
+SPLIT_CONF = {
+    "spark.sql.files.maxPartitionBytes": "32000",
+    "spark.sql.files.openCostInBytes": "0",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+}
+
 # headline query subset (one per operator family; the full 26-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
@@ -101,7 +110,7 @@ def main():
     scaling_turns = max(n_turns, 60_000)
     input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}"
     scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}"
-    spark = build_session(app_name="bench-gen", cores=CPUS)
+    spark = build_session(app_name="bench-gen", cores=CPUS, extra_conf=SPLIT_CONF)
     spark.sparkContext.setLogLevel("ERROR")
     if not Path(input_path).exists():
         generate_transcripts(spark, n_turns=n_turns, seed=42).repartition(64).write.mode(
@@ -136,16 +145,8 @@ def main():
     # hyperthreading alone, which would mask the engine's scaling).
     scaling = {}
     prev_tps = None
-    split_conf = {
-        # the synthetic transcript files compress to ~60 KB; size splits
-        # by rows, not bytes, so every core gets work (a production scan
-        # of uncompressed-text parquet needs no such override)
-        "spark.sql.files.maxPartitionBytes": "32000",
-        "spark.sql.files.openCostInBytes": "0",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
-    }
     for cores in (4, 16):
-        s = build_session(app_name=f"bench-{cores}", cores=cores, extra_conf=split_conf)
+        s = build_session(app_name=f"bench-{cores}", cores=cores, extra_conf=SPLIT_CONF)
         s.sparkContext.setLogLevel("ERROR")
         # warm the JVM / python worker pool before the measured run
         run_extraction(s, input_path)
