@@ -1084,3 +1084,171 @@ _register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining operator families: A2 (argmin alignment), A9 (array position /
+# counts), SO1 (set union), F5 (base64)
+# ---------------------------------------------------------------------------
+
+def q_alignment_argmin(spark, sf_dir):
+    """A2: column-alignment detection — per group compute three min-max
+    deltas (left / middle / right anchors) and pick the label of the
+    smallest (matching_post_processor.py:148-188 re-expressed)."""
+    from pyspark.sql import functions as F
+
+    li = _read(spark, sf_dir, "lineitem")
+    x1 = F.col("l_discount") * 100.0
+    x2 = x1 + F.col("l_quantity")
+    boxes = li.select("l_returnflag", x1.alias("x1"), x2.alias("x2"))
+    agg = boxes.groupBy("l_returnflag").agg(
+        (F.max("x1") - F.min("x1")).alias("d_left"),
+        (F.max((F.col("x1") + F.col("x2")) / 2) - F.min((F.col("x1") + F.col("x2")) / 2)).alias("d_mid"),
+        (F.max("x2") - F.min("x2")).alias("d_right"),
+    )
+    smallest = F.least("d_left", "d_mid", "d_right")
+    alignment = (
+        F.when(F.col("d_left") == smallest, "left")
+        .when(F.col("d_mid") == smallest, "middle")
+        .otherwise("right")
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("d_left", 4).alias("d_left"),
+        F.round("d_mid", 4).alias("d_mid"),
+        F.round("d_right", 4).alias("d_right"),
+        alignment.alias("alignment"),
+    )
+
+
+_register(
+    "alignment_argmin",
+    q_alignment_argmin,
+    """
+    WITH boxes AS (
+        SELECT l_returnflag, l_discount * 100.0 AS x1,
+               l_discount * 100.0 + l_quantity AS x2
+        FROM lineitem
+    ), agg AS (
+        SELECT l_returnflag,
+               max(x1) - min(x1) AS d_left,
+               max((x1 + x2) / 2) - min((x1 + x2) / 2) AS d_mid,
+               max(x2) - min(x2) AS d_right
+        FROM boxes GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(d_left, 4) AS d_left, round(d_mid, 4) AS d_mid,
+           round(d_right, 4) AS d_right,
+           CASE WHEN d_left = least(d_left, d_mid, d_right) THEN 'left'
+                WHEN d_mid = least(d_left, d_mid, d_right) THEN 'middle'
+                ELSE 'right' END AS alignment
+    FROM agg
+    """,
+)
+
+
+def q_grid_counts(spark, sf_dir):
+    """A9: array position / element counts — position of the first
+    delimiter word and delimiter count per document (the OTSL
+    num_cols/num_rows computation shape: index of first 'nl', count of
+    'nl')."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.array_position(words, "data").cast("long").alias("first_delim"),
+        F.size(F.filter(words, lambda w: w == F.lit("data"))).cast("long").alias("n_delim"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+
+
+_register(
+    "grid_counts",
+    q_grid_counts,
+    """
+    SELECT doc_id,
+           CAST(coalesce(list_position(string_split(text, ' '), 'data'), 0) AS BIGINT) AS first_delim,
+           CAST(len(list_filter(string_split(text, ' '), w -> w = 'data')) AS BIGINT) AS n_delim,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+    FROM documents
+    """,
+)
+
+
+def q_set_union(spark, sf_dir):
+    """SO1: union-of-sets size for adjacent keys (the reference's
+    a + (set(b) - set(a)) merge, matching_post_processor.py:602-605)."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    sets = events.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("types")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    return (
+        a.join(b, F.col("b.user_id") == F.col("a.user_id") + 1)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.size(F.array_union(F.col("a.types"), F.col("b.types")))
+            .cast("long")
+            .alias("union_types"),
+            F.size(F.array_intersect(F.col("a.types"), F.col("b.types")))
+            .cast("long")
+            .alias("shared_types"),
+        )
+    )
+
+
+_register(
+    "set_union_adjacent",
+    q_set_union,
+    """
+    WITH s AS (SELECT DISTINCT user_id, event_type FROM events),
+    users AS (SELECT DISTINCT user_id FROM s),
+    pairs AS (
+        SELECT a.user_id AS user_a FROM users a
+        JOIN users b ON b.user_id = a.user_id + 1
+    ),
+    uni AS (
+        SELECT p.user_a, s.event_type FROM pairs p JOIN s ON s.user_id = p.user_a
+        UNION
+        SELECT p.user_a, s.event_type FROM pairs p JOIN s ON s.user_id = p.user_a + 1
+    ),
+    union_counts AS (
+        SELECT user_a, count(*) AS union_types FROM uni GROUP BY user_a
+    ),
+    shared AS (
+        SELECT a.user_id AS user_a, count(*) AS shared_types
+        FROM s a JOIN s b
+          ON b.user_id = a.user_id + 1 AND b.event_type = a.event_type
+        GROUP BY a.user_id
+    )
+    SELECT u.user_a, u.union_types,
+           COALESCE(sh.shared_types, 0) AS shared_types
+    FROM union_counts u LEFT JOIN shared sh USING (user_a)
+    """,
+)
+
+
+def q_base64_payload(spark, sf_dir):
+    """F5: base64 payload encoding (the fixture tensor-encoding contract;
+    zlib stays inside the UDF boundary in the extraction pipeline)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 48), "utf-8")).alias("b64_head"),
+    )
+
+
+_register(
+    "base64_payload",
+    q_base64_payload,
+    """
+    SELECT doc_id, to_base64(encode(substring(text, 1, 48))) AS b64_head
+    FROM documents
+    """,
+)
