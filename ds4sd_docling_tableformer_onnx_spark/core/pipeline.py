@@ -37,7 +37,23 @@ from .response import dense_reindex, dummy_response, matched_response, merge_out
 def decode_prediction(payload):
     """Normalize a turn payload into a prediction dict with
     ``tag_seq/rs_seq/html_seq/bboxes/classes`` (reference predict()
-    decode block, tf_predictor.py:742-793)."""
+    decode block, tf_predictor.py:742-793).
+
+    Payload variants:
+    - ``raw_tags`` (+ ``raw_bboxes`` cxcywh, ``raw_classes``): an
+      uncorrected decoder stream — runs the D1-D3 surrogate decoder;
+    - ``tag_seq``: already-decoded ids including sentinels;
+    - ``otsl``: raw tag strings.
+    """
+    if payload.get("raw_tags") is not None:
+        from .decoder import surrogate_predict
+
+        decoded = surrogate_predict(
+            payload["raw_tags"],
+            payload.get("raw_bboxes") or [],
+            payload.get("raw_classes") or [],
+        )
+        payload = {**payload, **decoded}
     prediction = {
         "bboxes": [list(b) for b in payload.get("bboxes", [])],
         "classes": list(payload.get("classes", [])),

@@ -1,0 +1,119 @@
+"""Neural-stage scaffolding: page image -> model-input tensor (P1-P3)
+with executor-cached artifacts (S5), plus the deterministic surrogate
+decoder hook (D1-D3).
+
+The reference loads model weights once per process under an init lock
+(tf_predictor.py:40,176-216); the Spark equivalent is a module-level
+lazy singleton inside the UDF — one initialization per executor python
+worker, reused across all Arrow batches.  The actual TableFormer weights
+are not shipped in this environment, so the "model" here is the
+deterministic surrogate (``core.decoder``); a real ONNX session drops
+into ``_Artifacts.predictor`` without touching the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+TENSOR_META_SCHEMA = (
+    "item_id long, ok boolean, err string, "
+    "scale_factor double, rounded_bbox array<int>, "
+    "crop_sha256 string, tensor_sha256 string, "
+    "tensor_mean double, tensor_std double, tensor_min double, tensor_max double"
+)
+
+
+class _Artifacts:
+    """Per-executor lazy singleton (the broadcast-weights pattern)."""
+
+    _instance = None
+
+    def __init__(self):
+        # stands in for: load ONNX session / safetensors from SparkFiles
+        from ..config import WORD_MAP_TAG
+
+        self.mean = [0.94247851, 0.94254675, 0.94292611]
+        self.std = [0.17910956, 0.17940403, 0.17931663]
+        self.word_map = WORD_MAP_TAG
+
+    @classmethod
+    def get(cls):
+        if cls._instance is None:
+            cls._instance = cls()
+        return cls._instance
+
+
+def _tensor_batches(batches: Iterator):
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.imaging import prepare_table_tensor
+
+    artifacts = _Artifacts.get()  # once per worker, reused per batch
+    for batch in batches:
+        rows = {
+            k: []
+            for k in (
+                "item_id", "ok", "err", "scale_factor", "rounded_bbox",
+                "crop_sha256", "tensor_sha256", "tensor_mean", "tensor_std",
+                "tensor_min", "tensor_max",
+            )
+        }
+        for item_id, payload, height, width, bbox in zip(
+            batch["item_id"], batch["image"], batch["height"], batch["width"],
+            batch["table_bbox"],
+        ):
+            rows["item_id"].append(int(item_id))
+            try:
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(
+                    int(height), int(width), 3
+                )
+                out = prepare_table_tensor(img, list(bbox), artifacts.mean, artifacts.std)
+                tensor = out["tensor"]
+                rows["ok"].append(True)
+                rows["err"].append(None)
+                rows["scale_factor"].append(float(out["scale_factor"]))
+                rows["rounded_bbox"].append(list(out["rounded_bbox"]))
+                rows["crop_sha256"].append(
+                    hashlib.sha256(out["crop"].tobytes()).hexdigest()
+                )
+                rows["tensor_sha256"].append(
+                    hashlib.sha256(tensor.tobytes()).hexdigest()
+                )
+                rows["tensor_mean"].append(float(tensor.mean()))
+                rows["tensor_std"].append(float(tensor.std()))
+                rows["tensor_min"].append(float(tensor.min()))
+                rows["tensor_max"].append(float(tensor.max()))
+            except Exception as exc:
+                rows["ok"].append(False)
+                rows["err"].append(f"{type(exc).__name__}: {exc}"[:300])
+                rows["scale_factor"].append(0.0)
+                rows["rounded_bbox"].append([])
+                for key in ("crop_sha256", "tensor_sha256"):
+                    rows[key].append(None)
+                for key in ("tensor_mean", "tensor_std", "tensor_min", "tensor_max"):
+                    rows[key].append(0.0)
+        yield pd.DataFrame(rows)
+
+
+def prepare_tensors(df):
+    """(item_id, image binary, height, width, table_bbox array<double>)
+    -> tensor metadata.  Narrow mapInPandas stage; on a cluster the image
+    bytes come from `spark.read.format("binaryFile")` or an Iceberg blob
+    column (S1), and partition byte sizing keeps blobs in memory."""
+    pruned = df.select("item_id", "image", "height", "width", "table_bbox")
+    return pruned.mapInPandas(_tensor_batches, schema=TENSOR_META_SCHEMA)
+
+
+def read_image_directory(spark, path: str, glob: str = "*.png"):
+    """S1: directory scan of images as binary payloads
+    (run_tableformer_docling.py:42-48 re-expressed on the binaryFile
+    source; decode happens inside the pandas UDF)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content", "length")
+    )
