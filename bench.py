@@ -67,6 +67,28 @@ def _count(df):
     return df.count()
 
 
+def run_extraction_only(spark, input_path):
+    """Pure extraction throughput: full-output extraction into a noop
+    sink (no driver-side collect, no verification join)."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.extract import (
+        extract_transcripts,
+    )
+
+    conf = spark.conf
+    old_max = conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = conf.get("spark.sql.files.openCostInBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", TRANSCRIPT_SPLIT_BYTES)
+    conf.set("spark.sql.files.openCostInBytes", "0")
+    transcripts = spark.read.parquet(input_path)
+    n = transcripts.count()
+    t0 = time.perf_counter()
+    extract_transcripts(transcripts).write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    conf.set("spark.sql.files.maxPartitionBytes", old_max)
+    conf.set("spark.sql.files.openCostInBytes", old_cost)
+    return n, wall
+
+
 def run_extraction(spark, input_path):
     """Extract + verify every turn; returns (turns, wall_sec, pass_rate)."""
     from pyspark.sql import functions as F
@@ -111,7 +133,7 @@ def main():
 
     # --- prepare the shared transcript inputs once -----------------------
     # scaling evidence needs enough work that task overheads amortize
-    scaling_turns = max(n_turns, 60_000)
+    scaling_turns = max(2 * n_turns, 120_000)
     input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}"
     scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}"
     spark = build_session(app_name="bench-gen", cores=CPUS)
@@ -157,8 +179,8 @@ def main():
         s = build_session(app_name=f"bench-{cores}", cores=cores)
         s.sparkContext.setLogLevel("ERROR")
         # warm the JVM / python worker pool before the measured run
-        run_extraction(s, input_path)
-        n, wall, _ = run_extraction(s, scaling_path)
+        run_extraction_only(s, input_path)
+        n, wall = run_extraction_only(s, scaling_path)
         tps = n / wall
         scaling[f"local[{cores}]"] = {
             "turns": n,
