@@ -48,7 +48,7 @@ def q_dense_rank(spark, sf_dir):
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        (F.dense_rank().over(win) - 1).alias("order_rank"),
+        (F.dense_rank().over(win) - 1).cast("long").alias("order_rank"),
     )
 
 
@@ -205,8 +205,8 @@ _register(
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 4) AS session_value
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, round(sum(value), 4) AS session_value
     FROM sessioned GROUP BY user_id, session_id
     """,
 )
