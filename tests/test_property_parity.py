@@ -1,0 +1,185 @@
+"""Property-based differential parity vs the reference library.
+
+Hypothesis generates random table grids + pdf-cell sets; the engine's
+matcher/post-processor must produce byte-identical canonical JSON to the
+reference library's implementations on every generated case.  This goes
+far beyond the frozen goldens: it exercises edge shapes (empty columns,
+all-bad cells, orphan storms, degenerate bboxes) no fixture covers.
+"""
+
+import copy
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ds4sd_docling_tableformer_onnx_spark.config import canonical_json
+from ds4sd_docling_tableformer_onnx_spark.core import otsl as o
+from ds4sd_docling_tableformer_onnx_spark.core.cells import (
+    intersection_over_pdf_match,
+)
+from ds4sd_docling_tableformer_onnx_spark.core.postprocess import process
+
+from .conftest import REFERENCE_DIR
+
+sys.path.insert(0, str(REFERENCE_DIR / "tableformer-docling"))
+try:
+    from docling_ibm_models.tableformer.data_management.matching_post_processor import (
+        MatchingPostProcessor,
+    )
+    from docling_ibm_models.tableformer.data_management.tf_cell_matcher import (
+        CellMatcher,
+    )
+
+    _HAVE_REFERENCE = True
+except Exception:  # pragma: no cover
+    _HAVE_REFERENCE = False
+
+needs_reference = pytest.mark.skipif(
+    not _HAVE_REFERENCE, reason="reference library not importable"
+)
+
+_CONFIG = {"predict": {"pdf_cell_iou_thres": 0.05}}
+
+
+@st.composite
+def grids(draw):
+    """A random structural grid + pdf cells over the same area."""
+    n_rows = draw(st.integers(1, 5))
+    n_cols = draw(st.integers(1, 5))
+    cells = []
+    cell_id = 0
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if draw(st.booleans()) or (r == 0 and c == 0):
+                x1 = c * 10 + draw(st.floats(-2, 2, allow_nan=False))
+                y1 = r * 8 + draw(st.floats(-1, 1, allow_nan=False))
+                cell = {
+                    "cell_id": cell_id,
+                    "row_id": r,
+                    "column_id": c,
+                    "bbox": [x1, y1, x1 + draw(st.floats(1, 12, allow_nan=False)),
+                             y1 + draw(st.floats(1, 9, allow_nan=False))],
+                    "cell_class": draw(st.sampled_from([1, 2, 2, 2, 3])),
+                    "label": draw(st.sampled_from(["fcel", "ecel", "ched", "rhed", "srow"])),
+                    "multicol_tag": "",
+                }
+                if draw(st.integers(0, 9)) == 0:
+                    cell["colspan_val"] = draw(st.integers(2, 3))
+                if draw(st.integers(0, 9)) == 0:
+                    cell["rowspan_val"] = draw(st.integers(2, 3))
+                cells.append(cell)
+                cell_id += 1
+    # the reference's matcher/post-processor require a non-empty pdf-cell
+    # set with at least one non-empty text (guarded upstream in its
+    # pipeline, tf_predictor.py:816-819); generate within that domain
+    n_pdf = draw(st.integers(1, 12))
+    pdf_cells = []
+    for i in range(n_pdf):
+        x1 = draw(st.floats(-5, n_cols * 10 + 5, allow_nan=False))
+        y1 = draw(st.floats(-5, n_rows * 8 + 5, allow_nan=False))
+        pdf_cells.append(
+            {
+                "id": i,
+                "text": "word" if i == 0 else draw(st.sampled_from(["", "w", "word"])),
+                "bbox": [x1, y1, x1 + draw(st.floats(0.5, 15, allow_nan=False)),
+                         y1 + draw(st.floats(0.5, 10, allow_nan=False))],
+            }
+        )
+    return cells, pdf_cells
+
+
+@needs_reference
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(grids())
+def test_matcher_differential(data):
+    cells, pdf_cells = data
+    mine, _ = intersection_over_pdf_match(copy.deepcopy(cells), copy.deepcopy(pdf_cells))
+    ref, _ = CellMatcher(_CONFIG)._intersection_over_pdf_match(
+        copy.deepcopy(cells), copy.deepcopy(pdf_cells)
+    )
+    assert canonical_json(mine) == canonical_json(ref)
+
+
+@needs_reference
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(grids())
+def test_postprocess_differential(data):
+    cells, pdf_cells = data
+    matches, _ = intersection_over_pdf_match(copy.deepcopy(cells), copy.deepcopy(pdf_cells))
+    mine = process(
+        {
+            "table_cells": copy.deepcopy(cells),
+            "pdf_cells": copy.deepcopy(pdf_cells),
+            "matches": copy.deepcopy(matches),
+        }
+    )
+    ref = MatchingPostProcessor(_CONFIG).process(
+        {
+            "table_cells": copy.deepcopy(cells),
+            "pdf_cells": copy.deepcopy(pdf_cells),
+            "matches": copy.deepcopy(matches),
+        },
+        False,
+    )
+    assert canonical_json(mine["table_cells"]) == canonical_json(ref["table_cells"])
+    assert canonical_json(mine["matches"]) == canonical_json(ref["matches"])
+
+
+@st.composite
+def otsl_streams(draw):
+    """Random square-ish OTSL streams (cell tags + span fillers)."""
+    n_rows = draw(st.integers(1, 5))
+    n_cols = draw(st.integers(1, 6))
+    grid = [[None] * n_cols for _ in range(n_rows)]
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if grid[r][c] is not None:
+                continue
+            tag = draw(st.sampled_from(["fcel", "ecel", "ched", "rhed", "srow"]))
+            grid[r][c] = tag
+            # optionally extend right (lcel) / down (ucel)
+            if c + 1 < n_cols and draw(st.integers(0, 3)) == 0:
+                width = draw(st.integers(1, n_cols - c - 1))
+                for k in range(1, width + 1):
+                    if grid[r][c + k] is None:
+                        grid[r][c + k] = "lcel"
+            if r + 1 < n_rows and draw(st.integers(0, 3)) == 0:
+                depth = draw(st.integers(1, n_rows - r - 1))
+                for k in range(1, depth + 1):
+                    if grid[r + k][c] is None:
+                        grid[r + k][c] = "ucel"
+    stream = []
+    for row in grid:
+        stream.extend(row)
+        stream.append("nl")
+    return stream
+
+
+@needs_reference
+@settings(max_examples=500, deadline=None)
+@given(otsl_streams())
+def test_otsl_differential(stream):
+    """Both conversion directions must match the reference's otsl module
+    token-for-token on arbitrary grids (including the shape-changing
+    round-trips the reference produces for combined col+row spans)."""
+    import docling_ibm_models.tableformer.otsl as ref_otsl
+
+    html = o.otsl_to_html(stream)
+    assert html == ref_otsl.otsl_to_html(list(stream), False)
+
+    ok, back = o.html_to_otsl(html)
+    table = {
+        "html": {"structure": {"tokens": list(html)}},
+        "split": "t",
+        "filename": "t",
+    }
+    ref_ok, ref_out = ref_otsl.html_to_otsl(table, None, False, False, True, False)
+    assert ok == ref_ok
+    if ok:
+        assert back["tokens"] == ref_out["html"]["structure"]["tokens"]
+        assert back["spans"] == ref_out["otsl_spans"]
+        assert back["cols"] == ref_out["cols"]
+        assert back["rows"] == ref_out["rows"]
+        assert back["html_restored"] == ref_out["html"]["html_restored_structure"]["tokens"]
