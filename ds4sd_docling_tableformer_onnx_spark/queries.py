@@ -1252,3 +1252,104 @@ _register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Composite: end-to-end training-data curation pipeline
+# ---------------------------------------------------------------------------
+
+def q_curation_pipeline(spark, sf_dir):
+    """Composite curation pass over the document corpus: exact dedup
+    (keep the minimum doc_id per content hash) -> quality filter
+    (length + stopword-ratio band) -> language attach (marker voting)
+    -> per-language corpus stats.  Every stage is the oracle-checked
+    operator above, composed into one plan."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    keep = (
+        docs.withColumn("h", F.md5("text"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id")
+
+    words = deduped.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    stop = F.when(F.col("word").isin(_STOPWORDS), 1.0).otherwise(0.0)
+    quality = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"), F.avg(stop).alias("stop_ratio")
+    )
+    qualified = deduped.join(quality, "doc_id").where(
+        (F.col("n_words") >= 10) & (F.col("stop_ratio") <= 0.5)
+    )
+
+    markers = spark.createDataFrame(_LANG_MARKERS, "word string, lang string")
+    votes = (
+        qualified.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+        )
+        .join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    best = votes.groupBy("doc_id").agg(
+        F.max(F.struct("votes", "lang")).alias("b")
+    ).select("doc_id", F.col("b.lang").alias("pred_lang"))
+
+    return (
+        qualified.join(best, "doc_id", "left")
+        .groupBy(F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"))
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("stop_ratio"), 6).alias("avg_stop_ratio"),
+        )
+    )
+
+
+_register(
+    "curation_pipeline",
+    q_curation_pipeline,
+    f"""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), deduped AS (
+        SELECT d.* FROM documents d JOIN keep USING (doc_id)
+    ), words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM deduped
+    ), quality AS (
+        SELECT doc_id, count(*) AS n_words,
+               avg(CASE WHEN word IN ({",".join("'" + w + "'" for w in _STOPWORDS)})
+                   THEN 1.0 ELSE 0.0 END) AS stop_ratio
+        FROM words GROUP BY doc_id
+    ), qualified AS (
+        SELECT d.doc_id, d.n_chars, q.n_words, q.stop_ratio
+        FROM deduped d JOIN quality q USING (doc_id)
+        WHERE q.n_words >= 10 AND q.stop_ratio <= 0.5
+    ), markers(word, lang) AS (VALUES {_MARKER_VALUES}),
+    votes AS (
+        SELECT w.doc_id, m.lang, count(*) AS votes
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+              FROM deduped WHERE doc_id IN (SELECT doc_id FROM qualified)) w
+        JOIN markers m USING (word)
+        GROUP BY w.doc_id, m.lang
+    ), best AS (
+        SELECT doc_id, lang AS pred_lang FROM (
+            SELECT doc_id, lang, votes,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY votes DESC, lang DESC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.pred_lang, 'und') AS pred_lang,
+           count(*) AS docs,
+           round(avg(q.n_chars), 4) AS avg_chars,
+           round(avg(q.stop_ratio), 6) AS avg_stop_ratio
+    FROM qualified q LEFT JOIN best b USING (doc_id)
+    GROUP BY COALESCE(b.pred_lang, 'und')
+    """,
+)

@@ -139,7 +139,27 @@ def otsl_streams(draw):
                 continue
             tag = draw(st.sampled_from(["fcel", "ecel", "ched", "rhed", "srow"]))
             grid[r][c] = tag
-            # optionally extend right (lcel) / down (ucel)
+            # optionally extend: 2-D block (xcel), right run (lcel),
+            # or down run (ucel)
+            if (
+                c + 1 < n_cols
+                and r + 1 < n_rows
+                and draw(st.integers(0, 5)) == 0
+            ):
+                width = draw(st.integers(1, n_cols - c - 1))
+                depth = draw(st.integers(1, n_rows - r - 1))
+                free = all(
+                    grid[r + dr][c + dc] is None
+                    for dr in range(depth + 1)
+                    for dc in range(width + 1)
+                    if (dr, dc) != (0, 0)
+                )
+                if free:
+                    for dr in range(depth + 1):
+                        for dc in range(width + 1):
+                            if (dr, dc) != (0, 0):
+                                grid[r + dr][c + dc] = "xcel"
+                    continue
             if c + 1 < n_cols and draw(st.integers(0, 3)) == 0:
                 width = draw(st.integers(1, n_cols - c - 1))
                 for k in range(1, width + 1):
