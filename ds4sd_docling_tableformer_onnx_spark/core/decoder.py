@@ -28,7 +28,7 @@ parity quirks preserved:
 
 from __future__ import annotations
 
-from ..config import TAG_BY_ID, WORD_MAP_TAG
+from ..config import WORD_MAP_TAG
 
 # tags whose decode step emits a bbox feature (when not skipped)
 _BBOX_TAGS = frozenset(

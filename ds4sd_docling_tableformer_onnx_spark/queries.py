@@ -21,7 +21,6 @@ hash.
 
 from __future__ import annotations
 
-from functools import partial
 
 QUERIES: dict = {}
 ORACLES: dict = {}

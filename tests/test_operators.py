@@ -1,6 +1,5 @@
 """Dedup / similarity / multimodal operators + streaming extraction."""
 
-import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"

@@ -1,9 +1,7 @@
 """Stateful streaming rollup: state persists across micro-batches."""
 
-import pytest
 from pyspark.sql import functions as F
 
-from ds4sd_docling_tableformer_onnx_spark.operators.extract import extract_transcripts
 from ds4sd_docling_tableformer_onnx_spark.sources.transcripts import generate_transcripts
 from ds4sd_docling_tableformer_onnx_spark.streaming.stateful import (
     stateful_conversation_rollup,
