@@ -187,25 +187,27 @@ def deduplicate_columns(tab_columns, table_cells, first_matches, ioc_matches):
     cells removed from ``ioc_matches``; surviving columns keep their ids
     (parity: the reference does NOT re-number ``column_id`` here).
     """
-    per_col_pdf_ids = []
-    per_col_score = []
-    for col in range(tab_columns):
-        col_cell_ids = [c["cell_id"] for c in table_cells if c["column_id"] == col]
-        score = 0.0
-        ids_first, ids_ioc = [], []
-        for key, match_list in first_matches.items():
-            for m in match_list:
-                if m["table_cell_id"] in col_cell_ids:
-                    score += m.get("iou", m.get("iopdf", 0))
-                    ids_first.append(key)
-        for key, match_list in ioc_matches.items():
-            for m in match_list:
-                if m["table_cell_id"] in col_cell_ids:
-                    score += m["iopdf"]
-                    ids_ioc.append(key)
-        merged = ids_first + list(set(ids_ioc) - set(ids_first))
-        per_col_pdf_ids.append(list({int(x) for x in merged}))
-        per_col_score.append(score)
+    # one pass over each match set, indexed by the cell's column
+    col_of_cell = {c["cell_id"]: c["column_id"] for c in table_cells}
+    first_ids = [[] for _ in range(tab_columns)]
+    ioc_ids = [[] for _ in range(tab_columns)]
+    per_col_score = [0.0] * tab_columns
+    for key, match_list in first_matches.items():
+        for m in match_list:
+            col = col_of_cell.get(m["table_cell_id"])
+            if col is not None and col < tab_columns:
+                per_col_score[col] += m.get("iou", m.get("iopdf", 0))
+                first_ids[col].append(key)
+    for key, match_list in ioc_matches.items():
+        for m in match_list:
+            col = col_of_cell.get(m["table_cell_id"])
+            if col is not None and col < tab_columns:
+                per_col_score[col] += m["iopdf"]
+                ioc_ids[col].append(key)
+    per_col_pdf_ids = [
+        list({int(x) for x in first_ids[col] + list(set(ioc_ids[col]) - set(first_ids[col]))})
+        for col in range(tab_columns)
+    ]
 
     doomed_cols = []
     for col in range(tab_columns - 1):
