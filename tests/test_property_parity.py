@@ -203,3 +203,87 @@ def test_otsl_differential(stream):
         assert back["cols"] == ref_out["cols"]
         assert back["rows"] == ref_out["rows"]
         assert back["html_restored"] == ref_out["html"]["html_restored_structure"]["tokens"]
+
+
+@needs_reference
+def test_cost_guard_and_overlap_fix_differential():
+    """The >300-pdf-cell realign skip and the optional overlap-fix pass
+    must match the reference library (paths no fixture exercises)."""
+    import random
+
+    rng = random.Random(7)
+    cells = [
+        {
+            "cell_id": i,
+            "row_id": i // 5,
+            "column_id": i % 5,
+            "bbox": [(i % 5) * 10.0, (i // 5) * 8.0, (i % 5) * 10 + 9.0, (i // 5) * 8 + 7.0],
+            "cell_class": 2,
+            "label": "fcel",
+            "multicol_tag": "",
+        }
+        for i in range(25)
+    ]
+
+    def rand_pdf(n, wmax, hmax):
+        out = []
+        for i in range(n):
+            x1, y1 = rng.uniform(0, 50), rng.uniform(0, 40)
+            out.append(
+                {"id": i, "text": f"w{i}", "bbox": [x1, y1, x1 + rng.uniform(1, wmax), y1 + rng.uniform(1, hmax)]}
+            )
+        return out
+
+    for n_pdf, overlap_fix in ((320, False), (15, True)):
+        pdf = rand_pdf(n_pdf, 6, 5)
+        matches, _ = intersection_over_pdf_match(copy.deepcopy(cells), pdf)
+        mine = process(
+            {
+                "table_cells": copy.deepcopy(cells),
+                "pdf_cells": copy.deepcopy(pdf),
+                "matches": copy.deepcopy(matches),
+            },
+            correct_overlapping_cells=overlap_fix,
+        )
+        ref = MatchingPostProcessor(_CONFIG).process(
+            {
+                "table_cells": copy.deepcopy(cells),
+                "pdf_cells": copy.deepcopy(pdf),
+                "matches": copy.deepcopy(matches),
+            },
+            overlap_fix,
+        )
+        assert canonical_json(mine["table_cells"]) == canonical_json(ref["table_cells"])
+        assert canonical_json(mine["matches"]) == canonical_json(ref["matches"])
+
+
+@needs_reference
+def test_rescale_branch_differential():
+    """The dormant rescale=True branch of move-to-anchor (disabled in
+    the shipped reference config but kept) matches the library for all
+    three alignments."""
+    from ds4sd_docling_tableformer_onnx_spark.core.postprocess import (
+        move_cells_to_anchor,
+    )
+
+    cells = [
+        {
+            "cell_id": i,
+            "row_id": i,
+            "column_id": 0,
+            "bbox": [1.0 * i, 2.0 * i, 1.0 * i + 5, 2.0 * i + 3],
+            "cell_class": 2,
+            "label": "fcel",
+        }
+        for i in range(6)
+    ]
+    pp = MatchingPostProcessor(_CONFIG)
+    for alignment in ("left", "middle", "right"):
+        for rescale in (False, True):
+            ref = pp._move_cells_to_left_pos(
+                copy.deepcopy(cells), 12.5, rescale, 4.0, 3.0, alignment
+            )
+            mine = move_cells_to_anchor(
+                copy.deepcopy(cells), 12.5, rescale, 4.0, 3.0, alignment
+            )
+            assert canonical_json(ref) == canonical_json(mine), (alignment, rescale)
