@@ -1,0 +1,97 @@
+"""Response-layer differential parity vs the reference's TFPredictor.
+
+The reference's ``_generate_tf_response`` / ``_generate_tf_response_dummy``
+/ ``_merge_tf_output`` are deterministic methods; with the ML stack
+stubbed (tests/_reference_stubs.py) they run directly against the
+engine's re-expressions on randomized inputs."""
+
+import copy
+import random
+
+import pytest
+
+from ds4sd_docling_tableformer_onnx_spark.config import canonical_json
+from ds4sd_docling_tableformer_onnx_spark.core.response import (
+    dummy_response,
+    matched_response,
+    merge_output,
+)
+
+from ._reference_stubs import load_tf_predictor
+
+TFPredictor = load_tf_predictor()
+needs_ref = pytest.mark.skipif(TFPredictor is None, reason="reference not importable")
+
+
+def _random_case(seed):
+    rng = random.Random(seed)
+    cells = []
+    for i in range(rng.randint(1, 16)):
+        cell = {
+            "cell_id": i,
+            "row_id": rng.randrange(5),
+            "column_id": rng.randrange(5),
+            "bbox": [rng.uniform(0, 40) for _ in range(4)],
+            "cell_class": rng.choice([1, 2, 3]),
+            "label": rng.choice(["fcel", "ched", "rhed", "srow", "ecel", "body"]),
+        }
+        if rng.random() < 0.3:
+            cell["colspan_val"] = rng.randint(2, 3)
+        if rng.random() < 0.3:
+            cell["rowspan_val"] = rng.randint(2, 3)
+        cells.append(cell)
+    matches = {
+        str(i): [
+            # include dangling table_cell_ids to exercise the missing-cell path
+            {"table_cell_id": rng.randrange(len(cells) + 3), "iopdf": rng.random()}
+            for _ in range(rng.randint(1, 3))
+        ]
+        for i in range(rng.randint(0, 10))
+    }
+    pdf_cells = [
+        {"id": i, "text": f"t{i}", "bbox": [rng.uniform(0, 40) for _ in range(4)]}
+        for i in range(rng.randint(0, 10))
+    ]
+    return cells, matches, pdf_cells
+
+
+@needs_ref
+def test_response_layer_differential():
+    pred = object.__new__(TFPredictor)
+    for seed in range(80):
+        cells, matches, pdf_cells = _random_case(seed)
+
+        ref = pred._generate_tf_response(copy.deepcopy(cells), copy.deepcopy(matches))
+        mine = matched_response(copy.deepcopy(cells), copy.deepcopy(matches))
+        assert canonical_json(ref) == canonical_json(mine), f"matched seed {seed}"
+
+        ref.sort(key=lambda item: item["cell_id"])
+        mine.sort(key=lambda item: item["cell_id"])
+        ref_merged = pred._merge_tf_output(copy.deepcopy(ref), copy.deepcopy(pdf_cells))
+        my_merged = merge_output(copy.deepcopy(mine), copy.deepcopy(pdf_cells))
+        assert canonical_json(ref_merged) == canonical_json(my_merged), f"merge seed {seed}"
+
+        ref_dummy = pred._generate_tf_response_dummy(copy.deepcopy(cells))
+        my_dummy = dummy_response(copy.deepcopy(cells))
+        assert canonical_json(ref_dummy) == canonical_json(my_dummy), f"dummy seed {seed}"
+
+
+@needs_ref
+def test_bbox_sync_differential():
+    """D4 repair vs the reference's _check_bbox_sync on random streams."""
+    from ds4sd_docling_tableformer_onnx_spark.core.cells import check_bbox_sync
+
+    pred = object.__new__(TFPredictor)
+    rng = random.Random(11)
+    for _ in range(60):
+        html = []
+        for _ in range(rng.randint(1, 30)):
+            html.append(rng.choice(["<td>", "</td>", "<tr>", "</tr>", "<td", ">",
+                                    ' colspan="2"', "<thead>", "</thead>"]))
+        n_boxes = rng.randint(0, 35)
+        boxes = [[rng.random() for _ in range(4)] for _ in range(n_boxes)]
+        prediction = {"html_seq": list(html), "bboxes": [list(b) for b in boxes]}
+        ref_sync, ref_boxes = pred._check_bbox_sync(prediction)
+        my_sync, my_boxes = check_bbox_sync(html, [list(b) for b in boxes])
+        assert ref_sync == my_sync
+        assert canonical_json(ref_boxes) == canonical_json(my_boxes)
