@@ -27,8 +27,12 @@ class _Anything:
 
 
 def _stub(name, attrs=None, wildcard=False):
+    import importlib.machinery
+
     module = types.ModuleType(name)
     module.__path__ = []
+    # pyspark probes importable modules via __spec__; leave a real one
+    module.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for attr, value in (attrs or {}).items():
         setattr(module, attr, value)
     if wildcard:  # PEP 562: unknown attributes resolve to a chameleon
