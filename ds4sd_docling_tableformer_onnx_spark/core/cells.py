@@ -217,3 +217,68 @@ def check_bbox_sync(html_seq, bboxes):
     if len(bboxes) != expected:
         return False, repair_bbox_desync(html_seq, bboxes)
     return True, list(bboxes)
+
+
+def iou_match(table_cells, pdf_cells, iou_threshold: float = 0.05):
+    """J2: the alternative IoU matcher — pair score is
+    intersection / union, kept when >= ``iou_threshold``
+    (tf_cell_matcher.py:529-605; present but unused in the reference's
+    main path, exposed for API completeness).
+
+    Returns ``(matches, counter)`` with match entries
+    ``{"table_cell_id", "iou", "text"}``.
+    """
+    if not pdf_cells or not table_cells:
+        return {}, 0
+    cell_boxes = np.asarray([c["bbox"] for c in table_cells], dtype=np.float64)
+    pdf_boxes = np.asarray([p["bbox"] for p in pdf_cells], dtype=np.float64)
+    cell_areas = (cell_boxes[:, 2] - cell_boxes[:, 0]) * (cell_boxes[:, 3] - cell_boxes[:, 1])
+    pdf_areas = (pdf_boxes[:, 2] - pdf_boxes[:, 0]) * (pdf_boxes[:, 3] - pdf_boxes[:, 1])
+
+    matches = {}
+    counter = 0
+    for i, cell in enumerate(table_cells):
+        for j, pdf_cell in enumerate(pdf_cells):
+            inter = bbox_intersection(cell["bbox"], pdf_cell["bbox"])
+            if inter is None:
+                continue
+            inter_area = (inter[2] - inter[0]) * (inter[3] - inter[1])
+            union = float(cell_areas[i] + pdf_areas[j] - inter_area)
+            iou = inter_area / union if union > 0 else 0
+            if iou < iou_threshold:
+                continue
+            matches.setdefault(pdf_cell["id"], []).append(
+                {
+                    "table_cell_id": cell["cell_id"],
+                    "iou": iou,
+                    "text": pdf_cell["text"],
+                }
+            )
+            counter += 1
+    return matches, counter
+
+
+def page_to_table_coords(bbox, table_bbox, im_width, im_height):
+    """Transform a page-system bbox into table-image pixel coordinates
+    (corner flip + offset + rescale; tf_predictor.py:280-322)."""
+    t_x1, t_y1, t_x2, t_y2 = table_bbox[0], table_bbox[1], table_bbox[2], table_bbox[3]
+    width = t_x2 - t_x1
+    height = t_y2 - t_y1
+    return [
+        im_width * (bbox[0] - t_x1) / width,
+        im_height * (t_y2 - bbox[3]) / height,
+        im_width * (bbox[2] - t_x1) / width,
+        im_height * (t_y2 - bbox[1]) / height,
+    ]
+
+
+def depad_bboxes(bboxes, new_image_ratio):
+    """Undo prediction-time padding: rescale normalized bboxes around the
+    image center and clip to [0, 1] (tf_predictor.py:324-376; active only
+    when predict.padding is enabled)."""
+    out = []
+    for bbox in bboxes:
+        centered = [bbox[0] - 0.5, bbox[1] - 0.5, bbox[2] - 0.5, bbox[3] - 0.5]
+        scaled = [v * new_image_ratio + 0.5 for v in centered]
+        out.append([float(np.clip(v, 0.0, 1.0)) for v in scaled])
+    return out

@@ -95,3 +95,62 @@ def test_bbox_sync_differential():
         my_sync, my_boxes = check_bbox_sync(html, [list(b) for b in boxes])
         assert ref_sync == my_sync
         assert canonical_json(ref_boxes) == canonical_json(my_boxes)
+
+
+@needs_ref
+def test_iou_matcher_and_coord_utils_differential():
+    """J2 IoU matcher, page->table transform and depadding vs the
+    reference implementations."""
+    import sys as _sys
+
+    from ds4sd_docling_tableformer_onnx_spark.core.cells import (
+        depad_bboxes,
+        iou_match,
+        page_to_table_coords,
+    )
+
+    from .conftest import REFERENCE_DIR
+
+    _sys.path.insert(0, str(REFERENCE_DIR / "tableformer-docling"))
+    from docling_ibm_models.tableformer.data_management.tf_cell_matcher import (
+        CellMatcher,
+    )
+
+    matcher = CellMatcher({"predict": {"pdf_cell_iou_thres": 0.05}})
+    pred = object.__new__(TFPredictor)
+    rng = random.Random(3)
+    for _ in range(40):
+        cells = [
+            {
+                "cell_id": i,
+                "bbox": sorted([rng.uniform(0, 30), rng.uniform(0, 30)])
+                + sorted([rng.uniform(0, 30), rng.uniform(0, 30)]),
+            }
+            for i in range(rng.randint(1, 8))
+        ]
+        # bbox as [x1,y1,x2,y2] with x1<x2, y1<y2
+        for c in cells:
+            x1, x2, y1, y2 = c["bbox"]
+            c["bbox"] = [x1, y1, x2, y2]
+        pdf_cells = []
+        for i in range(rng.randint(1, 8)):
+            x1, x2 = sorted([rng.uniform(0, 30), rng.uniform(0, 30)])
+            y1, y2 = sorted([rng.uniform(0, 30), rng.uniform(0, 30)])
+            pdf_cells.append({"id": i, "text": f"t{i}", "bbox": [x1, y1, x2, y2]})
+
+        ref_m, ref_n = matcher._iou_match(copy.deepcopy(cells), copy.deepcopy(pdf_cells))
+        my_m, my_n = iou_match(copy.deepcopy(cells), copy.deepcopy(pdf_cells))
+        assert my_n == ref_n
+        assert canonical_json(my_m) == canonical_json(ref_m)
+
+        bbox = [rng.uniform(0, 20) for _ in range(4)]
+        table_bbox = [0.0, 0.0, 30.0 + rng.random(), 25.0 + rng.random()]
+        ref_t = pred.page_coords_to_table_coords(list(bbox), list(table_bbox), 448, 448)
+        my_t = page_to_table_coords(list(bbox), list(table_bbox), 448, 448)
+        assert canonical_json(ref_t) == canonical_json(my_t)
+
+        boxes = [[rng.random() for _ in range(4)] for _ in range(5)]
+        ratio = rng.uniform(0.5, 1.5)
+        ref_d = pred._depad_bboxes([list(b) for b in boxes], ratio)
+        my_d = depad_bboxes([list(b) for b in boxes], ratio)
+        assert canonical_json(ref_d) == canonical_json(my_d)
