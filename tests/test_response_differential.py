@@ -154,3 +154,50 @@ def test_iou_matcher_and_coord_utils_differential():
         ref_d = pred._depad_bboxes([list(b) for b in boxes], ratio)
         my_d = depad_bboxes([list(b) for b in boxes], ratio)
         assert canonical_json(ref_d) == canonical_json(my_d)
+
+
+@needs_ref
+def test_dense_reindex_differential():
+    """W1: the reference's re-index block inside multi_table_predict,
+    run with the neural stages monkeypatched out, vs dense_reindex."""
+    from ds4sd_docling_tableformer_onnx_spark.core.response import dense_reindex
+
+    rng = random.Random(17)
+    for _ in range(40):
+        cells = []
+        for i in range(rng.randint(1, 15)):
+            row = rng.randrange(0, 9)
+            col = rng.randrange(0, 9)
+            rowspan = rng.choice([1, 1, 1, 2, 3])
+            colspan = rng.choice([1, 1, 1, 2])
+            cells.append(
+                {
+                    "cell_id": i,
+                    "start_row_offset_idx": row,
+                    "end_row_offset_idx": row + rowspan,
+                    "start_col_offset_idx": col,
+                    "end_col_offset_idx": col + colspan,
+                    "row_span": rowspan,
+                    "col_span": colspan,
+                }
+            )
+
+        pred = object.__new__(TFPredictor)
+        pred.resize_img = lambda image, height=None: (image, 1.0)
+        ref_cells = copy.deepcopy(cells)
+        details = {"prediction": {"rs_seq": ["fcel", "nl"]}}
+        pred.predict = lambda *args, **kwargs: (ref_cells, details)
+        import numpy as np
+
+        page = np.zeros((20, 20, 3), dtype=np.uint8)
+        out = pred.multi_table_predict(
+            {"image": page}, table_bboxes=[[0.0, 0.0, 10.0, 10.0]], do_matching=True
+        )
+        ref_out = out[0]["tf_responses"]
+        ref_cols = out[0]["predict_details"]["num_cols"]
+        ref_rows = out[0]["predict_details"]["num_rows"]
+
+        my_cells = copy.deepcopy(cells)
+        my_cols, my_rows = dense_reindex(my_cells)
+        assert canonical_json(my_cells) == canonical_json(ref_out)
+        assert (my_cols, my_rows) == (ref_cols, ref_rows)
