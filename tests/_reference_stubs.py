@@ -25,6 +25,12 @@ class _Anything:
     def __mro_entries__(self, bases):
         return (object,)
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
 
 def _stub(name, attrs=None, wildcard=False):
     import importlib.machinery
