@@ -15,6 +15,8 @@ by ``tests/test_cells.py`` against the cell_matching golden fixture.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .otsl import CELL_TAGS, html_to_otsl
@@ -24,6 +26,14 @@ from .otsl import CELL_TAGS, html_to_otsl
 # span filler — spans recorded by html-cell index therefore drift after
 # an xcel; that drift is reference behavior and must be preserved.
 GRID_CELL_TAGS = ("fcel", "ecel", "xcel", "ched", "rhed", "srow")
+
+# HTML-mode cell labels (tf_cell_matcher.py:19-24).
+BODY = "body"
+COL_HEADER = "col_header"
+
+# Span-count extraction, the reference's exact pattern
+# (tf_cell_matcher.py:324,328).
+_SPAN_COUNT_RE = re.compile(r'"([^"]*)"')
 
 
 def translate_bboxes(table_bbox, cell_bboxes):
@@ -88,6 +98,101 @@ def build_table_cells(html_seq, otsl_seq, bboxes_page, classes):
             cells.append(cell)
             cell_id += 1
         col_id += 1
+    return cells
+
+
+def build_table_cells_html(html_seq, bboxes_page, classes):
+    """HTML-mode structural-cell builder (D10).
+
+    The reference ships this state machine but never executes it: the
+    mode switch is hardcoded to OTSL (``mode = "OTSL"``,
+    tf_cell_matcher.py:284). Re-expressed here for operator-inventory
+    completeness, behavior-equal to the dormant branch
+    (tf_cell_matcher.py:285-366):
+
+    - one cell is emitted per closing ``</td>``, consuming the bbox and
+      class at the running ``cell_id`` (bboxes assumed td-synchronized);
+    - ``row_id``/``column_id`` start at -1; ``<tr>`` advances the row and
+      resets the column, ``<td>``/``<td`` advances the column;
+    - after emitting a colspan cell, ``column_id`` shifts by colspan-1;
+    - ``multicol_tag`` accumulates ``<td`` + span tokens + ``</td>``.
+
+    parity: the reference resets its ``label`` variable at the top of
+    every token iteration, so the MULTI_COL/MULTI_ROW labels assigned on
+    span tokens (tf_cell_matcher.py:321-327) can never survive to the
+    ``</td>`` emission — emitted labels are only ``col_header`` (inside
+    <thead>), ``body`` (inside <tbody>) or None. That dead assignment is
+    reference behavior; the emission-visible labels here match it.
+    """
+    cells = []
+    cell_id = 0
+    row_id = -1
+    column_id = -1
+    in_header = False
+    in_body = False
+    multicol_tag = ""
+    colspan_val = 0
+    rowspan_val = 0
+    for tag in html_seq:
+        if tag in ("<thead>", "</thead>", "<tbody>", "</tbody>"):
+            if tag == "<thead>":
+                in_header = True
+            elif tag == "</thead>":
+                in_header = False
+            elif tag == "<tbody>":
+                in_body = True
+            else:
+                in_body = False
+            multicol_tag = ""
+            colspan_val = 0
+            rowspan_val = 0
+        elif tag == "<td>" or tag == "<td":
+            column_id += 1
+            multicol_tag = "<td" if tag == "<td" else ""
+            colspan_val = 0
+            rowspan_val = 0
+        elif tag == "<tr>":
+            row_id += 1
+            column_id = -1
+            multicol_tag = ""
+            colspan_val = 0
+            rowspan_val = 0
+        elif "colspan" in tag:
+            multicol_tag += tag
+            colspan_val = int(_SPAN_COUNT_RE.findall(tag)[0])
+        elif "rowspan" in tag:
+            multicol_tag += tag
+            rowspan_val = int(_SPAN_COUNT_RE.findall(tag)[0])
+        elif tag == "</td>":
+            if multicol_tag:
+                multicol_tag += tag
+            if in_header:
+                label = COL_HEADER
+            elif in_body:
+                label = BODY
+            else:
+                label = None
+            assert cell_id < len(bboxes_page), (
+                "Mismatching bboxes with closing TDs {} < {}".format(
+                    cell_id, len(bboxes_page)
+                )
+            )
+            cell = {
+                "cell_id": cell_id,
+                "row_id": row_id,
+                "column_id": column_id,
+                "bbox": bboxes_page[cell_id],
+                "cell_class": classes[cell_id],
+                "label": label,
+                "multicol_tag": multicol_tag,
+            }
+            if colspan_val > 0:
+                cell["colspan_val"] = colspan_val
+                column_id += colspan_val - 1
+            if rowspan_val > 0:
+                cell["rowspan_val"] = rowspan_val
+            cells.append(cell)
+            cell_id += 1
     return cells
 
 

@@ -100,3 +100,89 @@ def test_intersection_match_dedupes_and_filters():
     assert list(matches) == [7]
     assert matches[7][0]["table_cell_id"] == 0
     assert matches[7][0]["iopdf"] == pytest.approx(1.0)
+
+
+class _QuietLog:
+    def debug(self, *args, **kwargs):
+        pass
+
+
+def _reference_html_mode_builder():
+    """The reference's _build_table_cells with its hardcoded mode switch
+    flipped to HTML, so the dormant branch (tf_cell_matcher.py:285-366)
+    can be executed for differential comparison."""
+    import inspect
+    import sys
+    import textwrap
+
+    from .conftest import REFERENCE_DIR
+
+    sys.path.insert(0, str(REFERENCE_DIR / "tableformer-docling"))
+    try:
+        from docling_ibm_models.tableformer.data_management import (
+            tf_cell_matcher as ref_mod,
+        )
+    except Exception:
+        pytest.skip("reference library not importable")
+    src = textwrap.dedent(
+        inspect.getsource(ref_mod.CellMatcher._build_table_cells)
+    )
+    assert 'mode = "OTSL"' in src
+    namespace = dict(ref_mod.__dict__)
+    exec(src.replace('mode = "OTSL"', 'mode = "HTML"'), namespace)
+    fn = namespace["_build_table_cells"]
+
+    class _Self:
+        def _log(self):
+            return _QuietLog()
+
+    return lambda html_seq, bboxes, classes: fn(
+        _Self(), html_seq, [], bboxes, classes
+    )
+
+
+def test_html_mode_cell_builder_differential():
+    """D10: HTML-mode builder matches the reference's dormant branch on
+    every FinTabNet html / html_restored sequence plus handcrafted
+    thead/rowspan cases."""
+    import json
+    from pathlib import Path
+
+    from ds4sd_docling_tableformer_onnx_spark.config import canonical_json
+    from ds4sd_docling_tableformer_onnx_spark.core.cells import (
+        build_table_cells_html,
+    )
+
+    ref_build = _reference_html_mode_builder()
+
+    pool = json.loads(
+        (
+            Path(__file__).resolve().parents[1]
+            / "ds4sd_docling_tableformer_onnx_spark"
+            / "data"
+            / "fixture_pool.json"
+        ).read_text()
+    )
+    sequences = []
+    for table in pool["tables"]:
+        sequences.append(table["html"])
+        sequences.append(table["html_restored"])
+    sequences.append(
+        ["<thead>", "<tr>", "<td", ' colspan="2"', ">", "</td>", "<td>",
+         "</td>", "</tr>", "</thead>", "<tbody>", "<tr>", "<td",
+         ' rowspan="3"', ">", "</td>", "<td>", "</td>", "<td>", "</td>",
+         "</tr>", "<tr>", "<td", ' colspan="2"', ' rowspan="2"', ">",
+         "</td>", "</tr>", "</tbody>"]
+    )
+    sequences.append(["<tr>", "<td>", "</td>", "</tr>"])  # no thead/tbody
+
+    checked = 0
+    for html_seq in sequences:
+        n = sum(1 for t in html_seq if t == "</td>")
+        bboxes = [[float(i), float(i + 1), float(i + 2), float(i + 3)] for i in range(n)]
+        classes = [2] * n
+        expected = ref_build(list(html_seq), [list(b) for b in bboxes], list(classes))
+        got = build_table_cells_html(html_seq, bboxes, classes)
+        assert canonical_json(got) == canonical_json(expected)
+        checked += 1
+    assert checked >= 42

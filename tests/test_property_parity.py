@@ -287,3 +287,30 @@ def test_rescale_branch_differential():
                 copy.deepcopy(cells), 12.5, rescale, 4.0, 3.0, alignment
             )
             assert canonical_json(ref) == canonical_json(mine), (alignment, rescale)
+
+
+@needs_reference
+@settings(
+    max_examples=300,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(otsl_streams())
+def test_html_mode_cell_builder_property_differential(stream):
+    """D10 on arbitrary span grids: build html via otsl_to_html, then the
+    HTML-mode cell builder must match the reference's dormant branch
+    cell-for-cell (ids, grid indices, labels, multicol_tag, span vals)."""
+    from ds4sd_docling_tableformer_onnx_spark.core.cells import (
+        build_table_cells_html,
+    )
+
+    from .test_cells import _reference_html_mode_builder
+
+    ref_build = _reference_html_mode_builder()
+    html = o.otsl_to_html(stream)
+    n = sum(1 for t in html if t == "</td>")
+    bboxes = [[float(i), float(i + 1), float(i + 2), float(i + 3)] for i in range(n)]
+    classes = [2] * n
+    expected = ref_build(list(html), [list(b) for b in bboxes], list(classes))
+    got = build_table_cells_html(html, bboxes, classes)
+    assert canonical_json(got) == canonical_json(expected)
