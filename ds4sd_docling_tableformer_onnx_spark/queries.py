@@ -711,24 +711,36 @@ _register(
 
 
 def q_lang_id(spark, sf_dir):
-    """Language ID: marker-word voting (broadcast dim join + argmax per
-    doc with deterministic tie-break)."""
+    """Language ID: marker-word voting, shuffle-free.
+
+    The marker table is tiny and fixed, so the votes are per-row array
+    expressions (tokenize once, `filter`+`size` per language) and the
+    argmax is a `greatest` over (votes, lang) structs — the whole query
+    is one narrow map stage with no explode, no join, no aggregation;
+    at 100 TB it scans, votes and emits without a single shuffle.
+    Tie-break (max votes, then max lang string) matches the dim-join +
+    argmax formulation the oracle uses; docs with zero marker hits are
+    dropped, as the oracle's inner join does."""
     from pyspark.sql import functions as F
 
-    spark_markers = spark.createDataFrame(_LANG_MARKERS, "word string, lang string")
+    langs: dict[str, list[str]] = {}
+    for word, lang in _LANG_MARKERS:
+        langs.setdefault(lang, []).append(word)
     docs = _read(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    tokens = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
     )
-    votes = (
-        words.join(F.broadcast(spark_markers), "word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").cast("long").alias("votes"))
-    )
-    best = votes.groupBy("doc_id").agg(
-        F.max(F.struct(F.col("votes"), F.col("lang"))).alias("b")
-    )
-    return best.select(
+    vote_structs = [
+        F.struct(
+            F.size(F.filter("toks", lambda t: t.isin(words)))
+            .cast("long")
+            .alias("votes"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(langs.items())
+    ]
+    best = tokens.select("doc_id", F.greatest(*vote_structs).alias("b"))
+    return best.filter(F.col("b.votes") > 0).select(
         "doc_id", F.col("b.lang").alias("pred_lang"), F.col("b.votes").alias("votes")
     )
 
@@ -848,25 +860,26 @@ def q_minhash_lsh(spark, sf_dir):
     )
     banded = sigs.select(
         "doc_id",
-        F.md5(F.concat_ws("|", "m0", "m1", "m2", "m3")).alias("band0"),
-        F.md5(F.concat_ws("|", "m4", "m5", "m6", "m7")).alias("band1"),
+        F.concat_ws("|", "m0", "m1", "m2", "m3").alias("band0"),
+        F.concat_ws("|", "m4", "m5", "m6", "m7").alias("band1"),
     )
-    buckets = banded.select(
-        "doc_id", F.explode(F.array("band0", "band1")).alias("bucket")
+    # Band-exclusion dedup: emit each colliding pair from the FIRST band
+    # it shares — band1 collisions that also collide on band0 are
+    # filtered, so the union is exactly the distinct candidate set with
+    # no dedup shuffle over the (quadratic) pair output. Each equi-join
+    # shuffles only the doc-signature table (one row per doc), which AQE
+    # broadcast-converts when the build side is small.
+    a, b = banded.alias("a"), banded.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pairs0 = a.join(b, (F.col("a.band0") == F.col("b.band0")) & lt)
+    pairs1 = a.join(
+        b,
+        (F.col("a.band1") == F.col("b.band1"))
+        & (F.col("a.band0") != F.col("b.band0"))
+        & lt,
     )
-    pairs = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    return pairs
+    out = F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    return pairs0.select(*out).unionAll(pairs1.select(*out))
 
 
 _MINHASH_SIG_SQL = ",".join(
