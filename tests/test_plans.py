@@ -1,0 +1,104 @@
+"""Physical-plan shape regression tests.
+
+Correctness tests prove the operators compute the right values; these
+prove the plans are the ones that survive a 100x scale-up: filters reach
+the parquet scan, scans are pruned to the columns the stage needs, small
+dims broadcast, and map-only stages stay shuffle-free.
+"""
+
+import pytest
+
+from ds4sd_docling_tableformer_onnx_spark.operators.extract import (
+    extract_transcripts,
+    verify_against_pool,
+)
+from ds4sd_docling_tableformer_onnx_spark.sources.transcripts import (
+    generate_transcripts,
+    payload_pool_df,
+)
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def transcript_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "transcripts")
+    generate_transcripts(spark, n_turns=200, n_convs=10, seed=7).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_extraction_scan_prunes_to_udf_columns(spark, transcript_parquet):
+    """The mapInArrow stage declares 4 input columns; the parquet scan
+    must read exactly those (role/ts never leave the file)."""
+    import re
+
+    df = extract_transcripts(spark.read.parquet(transcript_parquet))
+    plan = _executed_plan(df)
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    cols = {
+        c.split("#")[0]
+        for c in re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    }
+    assert cols == {"conv_id", "turn_idx", "text", "tool"}
+
+
+def test_conv_filter_pushed_to_scan(spark, transcript_parquet):
+    """A conv_id predicate applied after extraction wiring still reaches
+    the parquet scan as a pushed filter (partition-pruning analog)."""
+    src = spark.read.parquet(transcript_parquet).where("conv_id = 'conv-0003'")
+    plan = _executed_plan(extract_transcripts(src))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(conv_id)" in plan or "EqualTo(conv_id" in plan
+
+
+def test_extraction_from_parquet_is_shuffle_free(spark, transcript_parquet):
+    """Scan -> mapInArrow -> output: zero exchanges."""
+    df = extract_transcripts(spark.read.parquet(transcript_parquet))
+    assert _executed_plan(df).count("Exchange") == 0
+
+
+def test_verification_join_broadcasts_the_pool(spark, transcript_parquet):
+    """The expected-hash pool is a tiny dim: the verify join must be a
+    broadcast hash join, never a shuffle join over the extraction output."""
+    extracted = extract_transcripts(spark.read.parquet(transcript_parquet))
+    plan = _executed_plan(verify_against_pool(extracted, payload_pool_df(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_lang_id_is_a_single_map_stage(spark):
+    """lang_id votes via per-row array expressions: no join, no
+    aggregation, no exchange anywhere in the plan."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["lang_id"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+
+
+def test_scalar_queries_stay_in_wholestage_codegen(spark):
+    """token_count is pure column arithmetic: one codegen'd scan+project,
+    no exchange, scan pruned to (doc_id, text)."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    import re
+
+    df = QUERIES["token_count"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "*(1)" in plan  # whole-stage-codegen'd single stage
+    assert plan.count("Exchange") == 0
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    cols = {
+        c.split("#")[0]
+        for c in re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    }
+    assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
