@@ -181,13 +181,19 @@ def main():
         s.sparkContext.setLogLevel("ERROR")
         # warm the JVM / python worker pool before the measured runs
         run_extraction_only(s, input_path)
-        n, wall_a = run_extraction_only(s, scaling_path)
-        _, wall_b = run_extraction_only(s, scaling_path)
-        wall = min(wall_a, wall_b)
+        # median of 3: single runs swing ~20% with core-count-dependent
+        # turbo clocks and page-cache state, which would alias into the
+        # N-vs-4N efficiency ratio
+        walls = []
+        for _ in range(3):
+            n, w = run_extraction_only(s, scaling_path)
+            walls.append(w)
+        wall = sorted(walls)[1]
         tps = n / wall
         scaling[f"local[{cores}]"] = {
             "turns": n,
             "sec": round(wall, 3),
+            "runs_sec": [round(w, 3) for w in walls],
             "turns_per_sec": round(tps, 1),
         }
         if prev_tps is not None:

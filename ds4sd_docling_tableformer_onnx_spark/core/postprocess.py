@@ -29,7 +29,6 @@ library.
 
 from __future__ import annotations
 
-import json
 import statistics
 
 from .cells import intersection_over_pdf_match
@@ -52,11 +51,14 @@ def table_dimensions(table_cells):
 
 
 def rematch(table_cells, pdf_cells):
-    """Step 5: fresh intersection matches, JSON round-tripped so pdf-cell
-    keys become strings (parity with matching_post_processor.py:378-385 —
-    string keys are part of the output contract)."""
+    """Step 5: fresh intersection matches with pdf-cell keys stringified
+    (parity with matching_post_processor.py:378-385 — the reference JSON
+    round-trips the dict purely to turn the int keys into strings; string
+    keys are part of the output contract).  Re-keying directly is
+    value-identical (floats survive a JSON round-trip bit-exactly) and
+    skips a serialize+parse per turn."""
     matches, _ = intersection_over_pdf_match(table_cells, pdf_cells)
-    return json.loads(json.dumps(matches))
+    return {str(k): v for k, v in matches.items()}
 
 
 def _match_counts(matches):
