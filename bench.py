@@ -133,18 +133,29 @@ def main():
     # --- prepare the shared transcript inputs once -----------------------
     # scaling evidence needs enough work that task overheads amortize
     scaling_turns = max(2 * n_turns, 120_000)
-    input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}"
-    scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}"
+    # File layout matters: a single-row-group parquet file cannot split,
+    # so oversized files under the 32 KB override yield mostly-empty
+    # tasks and unbalanced waves at high core counts.  Write many small
+    # single-row-group files instead — every task does equal work and
+    # openCostInBytes=0 packs them back into ~32 KB splits.
+    input_files, scaling_files = 128, 320
+    input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}_f{input_files}"
+    scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}_f{scaling_files}"
+    warm_path = f"{BENCH_TMP}/transcripts_warm_10000_f64"
     spark = build_session(app_name="bench-gen", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     if not Path(input_path).exists():
-        generate_transcripts(spark, n_turns=n_turns, seed=42).repartition(64).write.mode(
-            "overwrite"
-        ).parquet(input_path)
+        generate_transcripts(spark, n_turns=n_turns, seed=42).repartition(
+            input_files
+        ).write.mode("overwrite").parquet(input_path)
     if not Path(scaling_path).exists():
         generate_transcripts(spark, n_turns=scaling_turns, seed=43).repartition(
-            64
+            scaling_files
         ).write.mode("overwrite").parquet(scaling_path)
+    if not Path(warm_path).exists():
+        generate_transcripts(spark, n_turns=10_000, seed=44).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(warm_path)
 
     timings = {}
     total = 0.0
@@ -174,32 +185,36 @@ def main():
     # N=4 -> 4N=16 keeps both levels on physical cores (32 logical = 16
     # physical + SMT here; the pure-python ceiling for 8->32 is ~0.73 from
     # hyperthreading alone, which would mask the engine's scaling).
+    # This shared VM has multi-minute noisy-neighbor episodes (~40% CPU
+    # degradation).  Measuring all N-core runs in one block and all
+    # 4N-core runs in another lets one episode skew the ratio in either
+    # direction, so the levels are INTERLEAVED in time — [N, 4N] x 3
+    # visits, fresh session each visit, warm run per session — and each
+    # level takes its least-contended (min-wall) sample.
     scaling = {}
+    walls = {c: [] for c in (4, 16)}
+    n_scaling = None
+    for _visit in range(3):
+        for cores in (4, 16):
+            s = build_session(app_name=f"bench-{cores}", cores=cores)
+            s.sparkContext.setLogLevel("ERROR")
+            run_extraction_only(s, warm_path)  # JIT + python worker spawn
+            n_scaling, w = run_extraction_only(s, scaling_path)
+            walls[cores].append(w)
+            s.stop()
     prev_tps = None
     for cores in (4, 16):
-        s = build_session(app_name=f"bench-{cores}", cores=cores)
-        s.sparkContext.setLogLevel("ERROR")
-        # warm the JVM / python worker pool before the measured runs
-        run_extraction_only(s, input_path)
-        # median of 3: single runs swing ~20% with core-count-dependent
-        # turbo clocks and page-cache state, which would alias into the
-        # N-vs-4N efficiency ratio
-        walls = []
-        for _ in range(3):
-            n, w = run_extraction_only(s, scaling_path)
-            walls.append(w)
-        wall = sorted(walls)[1]
-        tps = n / wall
+        wall = min(walls[cores])
+        tps = n_scaling / wall
         scaling[f"local[{cores}]"] = {
-            "turns": n,
+            "turns": n_scaling,
             "sec": round(wall, 3),
-            "runs_sec": [round(w, 3) for w in walls],
+            "runs_sec": [round(w, 3) for w in walls[cores]],
             "turns_per_sec": round(tps, 1),
         }
         if prev_tps is not None:
             scaling["efficiency_N_to_4N"] = round(tps / (4 * prev_tps), 3)
         prev_tps = tps
-        s.stop()
 
     result = {
         "metric": "extraction turns/sec + headline query wall time",
