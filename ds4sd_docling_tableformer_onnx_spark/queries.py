@@ -918,37 +918,23 @@ def q_word_jaccard(spark, sf_dir):
     from pyspark.sql import functions as F
 
     docs = _read(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).distinct()
-    sizes = words.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
-    shared = (
-        words.alias("a")
-        .join(
-            words.alias("b"),
-            (F.col("b.doc_id") == F.col("a.doc_id") + 250)
-            & (F.col("b.word") == F.col("a.word")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"))
-        .agg(F.count("*").cast("long").alias("shared"))
+    # distinct word-set per doc as an array column: the explode/distinct/
+    # re-join plan this replaces shuffled the corpus three times; here the
+    # set algebra (intersect for |A&B|, union via inclusion-exclusion) is
+    # per-pair array arithmetic after ONE equi-join on doc_id — at 100 TB
+    # the only shuffle is the pair join itself
+    sets = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("words")
     )
-    joined = (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n", "na")
-        .join(
-            sizes.select(
-                (F.col("doc_id") - 250).alias("doc_a"), F.col("n").alias("nb")
-            ),
-            "doc_a",
-        )
-    )
-    return joined.select(
-        "doc_a",
-        (F.col("doc_a") + 250).alias("doc_b"),
-        F.round(
-            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
-        ).alias("jaccard"),
-    )
+    a, b = sets.alias("a"), sets.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 250)
+    shared = F.size(F.array_intersect("a.words", "b.words"))
+    union = F.size("a.words") + F.size("b.words") - shared
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(shared.cast("double") / union, 6).alias("jaccard"),
+    ).where(shared > 0)
 
 
 _register(
