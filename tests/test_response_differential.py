@@ -201,3 +201,207 @@ def test_dense_reindex_differential():
         my_cols, my_rows = dense_reindex(my_cells)
         assert canonical_json(my_cells) == canonical_json(ref_out)
         assert (my_cols, my_rows) == (ref_cols, ref_rows)
+
+
+def _random_grid_payload(rng):
+    """Random square OTSL grid with span fillers + synced/jittered bboxes,
+    classes and pdf cells — a full matched-path turn payload."""
+    from ds4sd_docling_tableformer_onnx_spark.config import WORD_MAP_TAG
+
+    n_rows = rng.randint(1, 5)
+    n_cols = rng.randint(1, 6)
+    grid = [[None] * n_cols for _ in range(n_rows)]
+    for r in range(n_rows):
+        for c in range(n_cols):
+            if grid[r][c] is not None:
+                continue
+            grid[r][c] = rng.choice(["fcel", "ecel", "ched", "rhed", "srow"])
+            if c + 1 < n_cols and r + 1 < n_rows and rng.random() < 0.15:
+                w = rng.randint(1, n_cols - c - 1)
+                d = rng.randint(1, n_rows - r - 1)
+                if all(
+                    grid[r + dr][c + dc] is None
+                    for dr in range(d + 1)
+                    for dc in range(w + 1)
+                    if (dr, dc) != (0, 0)
+                ):
+                    for dr in range(d + 1):
+                        for dc in range(w + 1):
+                            if (dr, dc) != (0, 0):
+                                grid[r + dr][c + dc] = "xcel"
+                    continue
+            if c + 1 < n_cols and rng.random() < 0.25:
+                for k in range(1, rng.randint(1, n_cols - c - 1) + 1):
+                    if grid[r][c + k] is None:
+                        grid[r][c + k] = "lcel"
+            if r + 1 < n_rows and rng.random() < 0.25:
+                for k in range(1, rng.randint(1, n_rows - r - 1) + 1):
+                    if grid[r + k][c] is None:
+                        grid[r + k][c] = "ucel"
+    stream = []
+    for row in grid:
+        stream.extend(row)
+        stream.append("nl")
+
+    tag_seq = (
+        [WORD_MAP_TAG["<start>"]]
+        + [WORD_MAP_TAG[t] for t in stream]
+        + [WORD_MAP_TAG["<end>"]]
+    )
+    # one bbox per grid cell tag, jittered by -2..+2 to exercise the
+    # bbox/tag desync repair (D4)
+    n_cells = sum(1 for t in stream if t in ("fcel", "ecel", "xcel", "ched", "rhed", "srow"))
+    n_boxes = max(0, n_cells + rng.choice([-2, -1, 0, 0, 0, 0, 1, 2]))
+    bboxes = []
+    for _ in range(n_boxes):
+        x1, x2 = sorted(rng.uniform(0, 1) for _ in range(2))
+        y1, y2 = sorted(rng.uniform(0, 1) for _ in range(2))
+        bboxes.append([x1, y1, x2, y2])
+    classes = [rng.choice([0, 1, 2, 3]) for _ in bboxes]
+    pw, ph = rng.uniform(100, 600), rng.uniform(100, 600)
+    tx1, tx2 = sorted(rng.uniform(0, pw) for _ in range(2))
+    ty1, ty2 = sorted(rng.uniform(0, ph) for _ in range(2))
+    table_bbox = [tx1, ty1, tx2, ty2]
+    pdf_cells = []
+    for i in range(rng.randint(0, 12)):
+        x1, x2 = sorted(rng.uniform(tx1 - 10, tx2 + 10) for _ in range(2))
+        y1, y2 = sorted(rng.uniform(ty1 - 10, ty2 + 10) for _ in range(2))
+        text = "" if rng.random() < 0.15 else f"w{i}"
+        pdf_cells.append({"id": i, "text": text, "bbox": [x1, y1, x2, y2]})
+    return {
+        "tag_seq": tag_seq,
+        "bboxes": bboxes,
+        "classes": classes,
+        "table_bbox": table_bbox,
+        "page_width": pw,
+        "page_height": ph,
+        "pdf_cells": pdf_cells,
+    }
+
+
+def _reference_full_chain(payload, correct_overlapping_cells=False):
+    """The deterministic stage wiring of TFPredictor.predict
+    (tf_predictor.py:705-843) composed from the reference's own parts:
+    tag decode -> OTSL -> HTML -> square check -> bbox-sync repair ->
+    match_cells -> post-process -> response -> sort -> merge."""
+    from docling_ibm_models.tableformer.data_management import tf_predictor as tfp
+    from docling_ibm_models.tableformer.data_management.matching_post_processor import (
+        MatchingPostProcessor,
+    )
+    from docling_ibm_models.tableformer.data_management.tf_cell_matcher import (
+        CellMatcher,
+    )
+    from docling_ibm_models.tableformer.otsl import otsl_to_html
+
+    config = {"predict": {"pdf_cell_iou_thres": 0.05}}
+    pred = object.__new__(TFPredictor)
+    pred._rev_word_map = {
+        v: k
+        for k, v in __import__(
+            "ds4sd_docling_tableformer_onnx_spark.config", fromlist=["WORD_MAP_TAG"]
+        ).WORD_MAP_TAG.items()
+    }
+
+    prediction = {
+        "bboxes": [list(b) for b in payload["bboxes"]],
+        "classes": list(payload["classes"]),
+        "tag_seq": list(payload["tag_seq"]),
+    }
+    prediction["rs_seq"] = pred._get_html_tags(prediction["tag_seq"])
+    prediction["html_seq"] = otsl_to_html(prediction["rs_seq"], False)
+    tfp.otsl_sqr_chk(prediction["rs_seq"], False)
+    sync, corrected = pred._check_bbox_sync(prediction)
+    if not sync:
+        prediction["bboxes"] = corrected
+
+    matching_details = {
+        "table_cells": [],
+        "matches": {},
+        "pdf_cells": [],
+        "prediction_bboxes_page": [],
+    }
+    iocr_page = {
+        "tokens": payload["pdf_cells"],
+        "width": payload["page_width"],
+        "height": payload["page_height"],
+    }
+    # dispatch mirrors predict_page/multi_table_predict: matching is
+    # auto-disabled when the page has no tokens -> predict_dummy wiring
+    # (predictor.py:85-123, tf_predictor.py:493-505)
+    if len(iocr_page["tokens"]) > 0:
+        if len(prediction["bboxes"]) > 0:
+            matching_details = CellMatcher(config).match_cells(
+                iocr_page, list(payload["table_bbox"]), prediction
+            )
+            matching_details = MatchingPostProcessor(config).process(
+                matching_details, correct_overlapping_cells
+            )
+        docling_output = pred._generate_tf_response(
+            matching_details["table_cells"], matching_details["matches"]
+        )
+        docling_output.sort(key=lambda item: item["cell_id"])
+        tf_output = pred._merge_tf_output(
+            docling_output, matching_details["pdf_cells"]
+        )
+    else:
+        tf_output = []  # parity: predict_dummy with zero bboxes hits an
+        # UnboundLocalError in the reference (tf_predictor.py:702 under
+        # `if len(prediction["bboxes"]) > 0`); the engine returns [] there
+        if len(prediction["bboxes"]) > 0:
+            matching_details = CellMatcher(config).match_cells_dummy(
+                iocr_page, list(payload["table_bbox"]), prediction
+            )
+            docling_output = pred._generate_tf_response_dummy(
+                matching_details["table_cells"]
+            )
+            docling_output.sort(key=lambda item: item["cell_id"])
+            tf_output = docling_output
+    return tf_output, matching_details, prediction
+
+
+@needs_ref
+def test_full_chain_differential_random_payloads():
+    """Flagship composition differential: extract_turn vs the reference's
+    complete deterministic predict() wiring on 150 random matched-path
+    payloads (span grids, desynced bboxes, empty-text pdf cells)."""
+    from ds4sd_docling_tableformer_onnx_spark.core.pipeline import extract_turn
+
+    checked = 0
+    for seed in range(400):
+        rng = random.Random(1000 + seed)
+        payload = _random_grid_payload(rng)
+        try:
+            ref_out, ref_details, ref_pred = _reference_full_chain(
+                copy.deepcopy(payload)
+            )
+            ref_exc = None
+        except IndexError:
+            # reference defect, not parity: when every pdf cell has empty
+            # text, step 5's rematch runs on an empty set and
+            # _intersection_over_pdf_match indexes a 1-D empty array
+            # (tf_cell_matcher.py:489).  The engine handles the empty set
+            # gracefully; assert that and move on.
+            assert all(c["text"] == "" for c in payload["pdf_cells"])
+            extract_turn(copy.deepcopy(payload), sort_row_col_indexes=False)
+            continue
+        except Exception as exc:
+            ref_out, ref_exc = None, type(exc).__name__
+        try:
+            # sort_row_col_indexes=False compares at the predict() boundary;
+            # the dense re-index applied after it (multi_table_predict, W1)
+            # has its own differential (test_dense_reindex_differential)
+            mine = extract_turn(copy.deepcopy(payload), sort_row_col_indexes=False)
+            my_exc = None
+        except Exception as exc:
+            mine, my_exc = None, type(exc).__name__
+
+        assert my_exc == ref_exc, f"seed {seed}: {my_exc} vs {ref_exc}"
+        if ref_exc is not None:
+            continue
+        assert canonical_json(mine["tf_responses"]) == canonical_json(ref_out), (
+            f"seed {seed}"
+        )
+        assert mine["html_seq"] == ref_pred["html_seq"], f"seed {seed}"
+        assert mine["rs_seq"] == ref_pred["rs_seq"], f"seed {seed}"
+        checked += 1
+    assert checked >= 300
