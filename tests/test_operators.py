@@ -92,3 +92,35 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     # restart with the same checkpoint: no new input -> no duplicates
     run_to_completion(stream_extract(spark, in_dir), out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == 80
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (coarse k-means + nprobe lists) must recover most of the exact
+    cosine top-10 while scoring only a fraction of the corpus."""
+    from pyspark.sql import functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    query = emb.where("vec_id = 0").select("embedding").first()[0]
+    rest = emb.where("vec_id > 0")
+
+    exact = [r["vec_id"] for r in cosine_topk(rest, query, k=10).collect()]
+    cents = train_ivf_centroids(rest, n_lists=8, seed=7)
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(rest, query, k=10, n_lists=8, nprobe=4, centroids=cents).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 7  # recall@10 >= 0.7
+
+    # the probe prunes: every candidate list is much smaller than the corpus
+    sizes = (
+        ivf_assign(rest, cents).groupBy("ivf_list").agg(F.count("*").alias("n"))
+    ).collect()
+    assert len(sizes) >= 4
+    assert max(r["n"] for r in sizes) < rest.count()
