@@ -88,6 +88,14 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(emb.where("vec_id <> 0"), list(query), k=10)
 
 
+def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.where("vec_id = 0").first()["embedding"]
+    return ivf_topk(emb.where("vec_id <> 0"), list(query), k=10, n_lists=8, nprobe=4, seed=7)
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -107,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extraction_pipeline"] = _extraction_pipeline
     out["simhash_candidates"] = _simhash_pairs
     out["lsh_ann_topk"] = _lsh_ann
+    out["ivf_ann_topk"] = _ivf_ann
     out["media_feature_stub"] = _media_features
     return out
 
