@@ -77,53 +77,67 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
                 (text + "\x00" + tool).encode("utf-8")
             ).hexdigest()
             out["payload_sha256"].append(payload_sha)
+            # Per-turn isolation must be exception-safe mid-row: compute
+            # the whole row first, append to the column lists only once
+            # it is complete, so a failure at ANY point (payload parse,
+            # extraction, serialization) yields exactly one error row and
+            # never desyncs the Arrow column lengths.
+            row = None
             try:
                 payload = json.loads(text)
                 context = json.loads(tool)
                 payload.update(context)
-                out["payload_id"].append(context.get("payload_id", -1))
+                payload_id = context.get("payload_id", -1)
                 result = extract_turn(
                     payload, correct_overlapping_cells=correct_overlapping_cells
                 )
                 html_json = json.dumps(result["html_seq"])
-                out["ok"].append(True)
-                out["err"].append(None)
-                out["num_rows"].append(result["num_rows"])
-                out["num_cols"].append(result["num_cols"])
-                out["n_cells"].append(result["n_cells"])
-                out["n_matches"].append(result["n_matches"])
-                out["bbox_sync"].append(result["bbox_sync"])
-                out["square"].append(result["square"])
-                out["matched"].append(result["matched"])
-                out["html_sha256"].append(
-                    hashlib.sha256(html_json.encode("utf-8")).hexdigest()
-                )
                 tf_json = json.dumps(result["tf_responses"])
+                row = {
+                    "payload_id": payload_id,
+                    "ok": True,
+                    "err": None,
+                    "num_rows": result["num_rows"],
+                    "num_cols": result["num_cols"],
+                    "n_cells": result["n_cells"],
+                    "n_matches": result["n_matches"],
+                    "bbox_sync": result["bbox_sync"],
+                    "square": result["square"],
+                    "matched": result["matched"],
+                    "html_sha256": hashlib.sha256(
+                        html_json.encode("utf-8")
+                    ).hexdigest(),
+                }
                 if lean:
-                    out["tf_responses_sha256"].append(
-                        hashlib.sha256(tf_json.encode("utf-8")).hexdigest()
-                    )
+                    row["tf_responses_sha256"] = hashlib.sha256(
+                        tf_json.encode("utf-8")
+                    ).hexdigest()
                 else:
-                    out["rs_seq"].append(result["rs_seq"])
-                    out["html_seq"].append(result["html_seq"])
-                    out["tf_responses_json"].append(tf_json)
+                    row["rs_seq"] = result["rs_seq"]
+                    row["html_seq"] = result["html_seq"]
+                    row["tf_responses_json"] = tf_json
             except Exception as exc:  # per-turn isolation: bad payloads
-                out["payload_id"].append(-1)
-                out["ok"].append(False)
-                out["err"].append(f"{type(exc).__name__}: {exc}"[:500])
-                for key in (
-                    "num_rows", "num_cols", "n_cells", "n_matches",
-                ):
-                    out[key].append(0)
-                for key in ("bbox_sync", "square", "matched"):
-                    out[key].append(False)
-                out["html_sha256"].append(None)
+                row = {
+                    "payload_id": -1,
+                    "ok": False,
+                    "err": f"{type(exc).__name__}: {exc}"[:500],
+                    "num_rows": 0,
+                    "num_cols": 0,
+                    "n_cells": 0,
+                    "n_matches": 0,
+                    "bbox_sync": False,
+                    "square": False,
+                    "matched": False,
+                    "html_sha256": None,
+                }
                 if lean:
-                    out["tf_responses_sha256"].append(None)
+                    row["tf_responses_sha256"] = None
                 else:
-                    out["rs_seq"].append([])
-                    out["html_seq"].append([])
-                    out["tf_responses_json"].append("[]")
+                    row["rs_seq"] = []
+                    row["html_seq"] = []
+                    row["tf_responses_json"] = "[]"
+            for key, value in row.items():
+                out[key].append(value)
         arrays = {
             "conv_id": pa.array(out["conv_id"], pa.string()),
             "turn_idx": pa.array(out["turn_idx"], pa.int32()),

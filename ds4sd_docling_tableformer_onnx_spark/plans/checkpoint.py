@@ -42,13 +42,18 @@ def read_checkpoint(spark, path: str):
         return None
 
 
-def resume_filter(input_df, spark, checkpoint_path: str):
+def resume_filter(input_df, spark, checkpoint_path: str, count_skipped: bool = True):
     """Drop turns already present in the checkpoint (matched on conv_id,
     turn_idx and the payload hash, so changed payloads re-run).
 
     The anti-join shuffles both sides on the composite key; at 10^12-turn
     scale the checkpoint side is bucketed on the same key in Iceberg so
     the join is storage-partitioned (no shuffle of the big side).
+
+    ``skipped`` is the number of INPUT rows dropped as already done (a
+    changed payload hashes differently, so it counts as not-done and
+    re-runs).  Counting it costs one extra pass over the input; pass
+    ``count_skipped=False`` at petabyte scale to skip the accounting.
     """
     from pyspark.sql import functions as F
 
@@ -60,7 +65,10 @@ def resume_filter(input_df, spark, checkpoint_path: str):
         "payload_sha256", F.sha2(F.concat_ws("\x00", "text", "tool"), 256)
     )
     remaining = hashed.join(done_keys, list(CHECKPOINT_KEYS), "left_anti")
-    return remaining.drop("payload_sha256"), done_keys.count()
+    skipped = 0
+    if count_skipped:
+        skipped = hashed.join(done_keys, list(CHECKPOINT_KEYS), "left_semi").count()
+    return remaining.drop("payload_sha256"), skipped
 
 
 def partition_metrics(extracted):

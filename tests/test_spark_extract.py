@@ -100,3 +100,40 @@ def test_extraction_plan_is_shuffle_free(spark):
     # the generator's own window needs one exchange; the extraction stage
     # itself must not add another on top of it
     assert plan.count("Exchange") <= 2
+
+
+def test_partial_resume_extracts_only_missing_turns(spark, tmp_path):
+    """Idempotent resume after a partial run: checkpoint half the corpus,
+    resume over the full corpus -> only the missing half runs, the union
+    is complete and duplicate-free, and a changed payload re-runs."""
+    from pyspark.sql import functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        run_with_checkpoint,
+    )
+
+    path = str(tmp_path / "ckpt")
+    df = generate_transcripts(spark, n_turns=100, n_convs=5, seed=9)
+
+    # simulated crash: only the first half was checkpointed
+    first_half = df.where("turn_idx % 2 = 0")
+    n_first = first_half.count()
+    _, skipped0 = run_with_checkpoint(spark, first_half, path, run_id="r1")
+    assert skipped0 == 0
+
+    new_rows, skipped1 = run_with_checkpoint(spark, df, path, run_id="r2")
+    assert skipped1 == n_first
+    assert new_rows.count() == 100 - n_first
+    assert new_rows.where("turn_idx % 2 = 0").count() == 0
+
+    ckpt = spark.read.parquet(path)
+    assert ckpt.count() == 100
+    assert ckpt.select("conv_id", "turn_idx").distinct().count() == 100
+
+    # a changed payload (different sha) is NOT considered done
+    mutated = df.withColumn(
+        "text", F.when(F.col("turn_idx") == 1, F.lit('{"broken": true}')).otherwise(F.col("text"))
+    )
+    _, skipped2 = run_with_checkpoint(spark, mutated, path, run_id="r3")
+    n_mutated = df.where("turn_idx = 1").count()
+    assert skipped2 == 100 - n_mutated
