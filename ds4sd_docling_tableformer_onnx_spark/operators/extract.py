@@ -61,18 +61,14 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
     )
     for batch in batches:
         out = {key: [] for key in (
-            "conv_id", "turn_idx", "payload_id", "ok", "err", "num_rows",
+            "payload_id", "ok", "err", "num_rows",
             "num_cols", "n_cells", "n_matches", "bbox_sync", "square",
             "matched", *payload_cols, "payload_sha256",
         )}
-        for conv_id, turn_idx, text, tool in zip(
-            batch.column("conv_id").to_pylist(),
-            batch.column("turn_idx").to_pylist(),
+        for text, tool in zip(
             batch.column("text").to_pylist(),
             batch.column("tool").to_pylist(),
         ):
-            out["conv_id"].append(conv_id)
-            out["turn_idx"].append(int(turn_idx))
             payload_sha = hashlib.sha256(
                 (text + "\x00" + tool).encode("utf-8")
             ).hexdigest()
@@ -139,8 +135,10 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
             for key, value in row.items():
                 out[key].append(value)
         arrays = {
-            "conv_id": pa.array(out["conv_id"], pa.string()),
-            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            # identity columns pass through as Arrow arrays untouched —
+            # no pylist round-trip for data the worker never inspects
+            "conv_id": batch.column("conv_id").cast(pa.string()),
+            "turn_idx": batch.column("turn_idx").cast(pa.int32()),
             "payload_id": pa.array(out["payload_id"], pa.int32()),
             "ok": pa.array(out["ok"], pa.bool_()),
             "err": pa.array(out["err"], pa.string()),
@@ -165,7 +163,7 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
             arrays["tf_responses_json"] = pa.array(
                 out["tf_responses_json"], pa.string()
             )
-        names = list(out.keys())
+        names = ["conv_id", "turn_idx", *out.keys()]
         yield pa.RecordBatch.from_arrays([arrays[n] for n in names], names=names)
 
 
