@@ -434,7 +434,8 @@ def push_apart_overlaps(table_cells):
     matching_post_processor.py:387-468).  Mutates in pair order — the
     result is order-dependent by design."""
 
-    def separate(b1, b2):
+    def separate(c1, c2):
+        b1, b2 = c1["bbox"], c2["bbox"]
         ox = min(b1[2], b2[2]) - max(b1[0], b2[0])
         oy = min(b1[3], b2[3]) - max(b1[1], b2[1])
         if ox <= 0 or oy <= 0:
@@ -455,8 +456,17 @@ def push_apart_overlaps(table_cells):
             else:
                 b2[3] -= math.ceil(oy / 2) + 2
                 b1[1] += math.floor(oy / 2)
-        b1[:] = [min(b1[0], b1[2]), min(b1[1], b1[3]), max(b1[0], b1[2]), max(b1[1], b1[3])]
-        b2[:] = [min(b2[0], b2[2]), min(b2[1], b2[3]), max(b2[0], b2[2]), max(b2[1], b2[3])]
+        # parity: the corner re-order REBINDS the cell's bbox to a fresh
+        # list (matching_post_processor.py:425-438).  An orphan cell's
+        # bbox can alias its pdf cell's bbox ("bbox": pdf_bbox at
+        # matching_post_processor.py:1085); the in-place +=/-= pushes
+        # above flow through that alias into the pdf cell (visible in the
+        # response's text_cell_bboxes), but the re-order must NOT — a
+        # slice-assign here would "fix" the pdf cell and break parity.
+        c1["bbox"] = [min(b1[0], b1[2]), min(b1[1], b1[3]),
+                      max(b1[0], b1[2]), max(b1[1], b1[3])]
+        c2["bbox"] = [min(b2[0], b2[2]), min(b2[1], b2[3]),
+                      max(b2[0], b2[2]), max(b2[1], b2[3])]
 
     def overlapping(b1, b2):
         return not (
@@ -467,7 +477,7 @@ def push_apart_overlaps(table_cells):
         for j in range(i + 1, len(table_cells)):
             ci, cj = table_cells[i], table_cells[j]
             if ci != cj and overlapping(ci["bbox"], cj["bbox"]):
-                separate(ci["bbox"], cj["bbox"])
+                separate(ci, cj)
     return table_cells
 
 

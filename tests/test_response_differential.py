@@ -362,17 +362,19 @@ def _reference_full_chain(payload, correct_overlapping_cells=False):
 @needs_ref
 def test_full_chain_differential_random_payloads():
     """Flagship composition differential: extract_turn vs the reference's
-    complete deterministic predict() wiring on 150 random matched-path
-    payloads (span grids, desynced bboxes, empty-text pdf cells)."""
+    complete deterministic predict() wiring on 400 random matched-path
+    payloads (span grids, desynced bboxes, empty-text pdf cells); odd
+    seeds also exercise the optional overlap-correction pass."""
     from ds4sd_docling_tableformer_onnx_spark.core.pipeline import extract_turn
 
     checked = 0
     for seed in range(400):
         rng = random.Random(1000 + seed)
         payload = _random_grid_payload(rng)
+        fix_overlap = bool(seed % 2)
         try:
             ref_out, ref_details, ref_pred = _reference_full_chain(
-                copy.deepcopy(payload)
+                copy.deepcopy(payload), correct_overlapping_cells=fix_overlap
             )
             ref_exc = None
         except IndexError:
@@ -390,7 +392,11 @@ def test_full_chain_differential_random_payloads():
             # sort_row_col_indexes=False compares at the predict() boundary;
             # the dense re-index applied after it (multi_table_predict, W1)
             # has its own differential (test_dense_reindex_differential)
-            mine = extract_turn(copy.deepcopy(payload), sort_row_col_indexes=False)
+            mine = extract_turn(
+                copy.deepcopy(payload),
+                correct_overlapping_cells=fix_overlap,
+                sort_row_col_indexes=False,
+            )
             my_exc = None
         except Exception as exc:
             mine, my_exc = None, type(exc).__name__
