@@ -243,6 +243,17 @@ def _random_grid_payload(rng):
         stream.extend(row)
         stream.append("nl")
 
+    # ~20%: break squareness (drop or duplicate one cell tag) — the
+    # reference only logs the square check and proceeds; the ragged
+    # stream must flow through otsl_to_html / html_to_otsl identically
+    if rng.random() < 0.2 and len(stream) > 2:
+        idx = rng.randrange(len(stream) - 1)
+        if stream[idx] != "nl":
+            if rng.random() < 0.5:
+                del stream[idx]
+            else:
+                stream.insert(idx, stream[idx])
+
     tag_seq = (
         [WORD_MAP_TAG["<start>"]]
         + [WORD_MAP_TAG[t] for t in stream]
@@ -267,7 +278,10 @@ def _random_grid_payload(rng):
         x1, x2 = sorted(rng.uniform(tx1 - 10, tx2 + 10) for _ in range(2))
         y1, y2 = sorted(rng.uniform(ty1 - 10, ty2 + 10) for _ in range(2))
         text = "" if rng.random() < 0.15 else f"w{i}"
-        pdf_cells.append({"id": i, "text": text, "bbox": [x1, y1, x2, y2]})
+        bbox = [x1, y1, x2, y2]
+        if rng.random() < 0.2:  # P10: dict-shaped bbox coercion path
+            bbox = {"l": x1, "t": y1, "r": x2, "b": y2}
+        pdf_cells.append({"id": i, "text": text, "bbox": bbox})
     return {
         "tag_seq": tag_seq,
         "bboxes": bboxes,
@@ -279,7 +293,7 @@ def _random_grid_payload(rng):
     }
 
 
-def _reference_full_chain(payload, correct_overlapping_cells=False):
+def _reference_full_chain(payload, correct_overlapping_cells=False, do_matching=None):
     """The deterministic stage wiring of TFPredictor.predict
     (tf_predictor.py:705-843) composed from the reference's own parts:
     tag decode -> OTSL -> HTML -> square check -> bbox-sync repair ->
@@ -327,8 +341,12 @@ def _reference_full_chain(payload, correct_overlapping_cells=False):
     }
     # dispatch mirrors predict_page/multi_table_predict: matching is
     # auto-disabled when the page has no tokens -> predict_dummy wiring
-    # (predictor.py:85-123, tf_predictor.py:493-505)
-    if len(iocr_page["tokens"]) > 0:
+    # (predictor.py:85-123, tf_predictor.py:493-505); an explicit
+    # do_matching=False forces the dummy chain like multi_table_predict's
+    # flag does
+    if do_matching is None:
+        do_matching = len(iocr_page["tokens"]) > 0
+    if do_matching:
         if len(prediction["bboxes"]) > 0:
             matching_details = CellMatcher(config).match_cells(
                 iocr_page, list(payload["table_bbox"]), prediction
@@ -363,8 +381,10 @@ def _reference_full_chain(payload, correct_overlapping_cells=False):
 def test_full_chain_differential_random_payloads():
     """Flagship composition differential: extract_turn vs the reference's
     complete deterministic predict() wiring on 400 random matched-path
-    payloads (span grids, desynced bboxes, empty-text pdf cells); odd
-    seeds also exercise the optional overlap-correction pass."""
+    payloads (span grids, ragged grids, desynced bboxes, dict-form and
+    empty-text pdf cells); odd seeds exercise the optional
+    overlap-correction pass, every 5th the forced-dummy dispatch
+    (do_matching=False with dict-form tokens, as docling feeds it)."""
     from ds4sd_docling_tableformer_onnx_spark.core.pipeline import extract_turn
 
     checked = 0
@@ -372,9 +392,19 @@ def test_full_chain_differential_random_payloads():
         rng = random.Random(1000 + seed)
         payload = _random_grid_payload(rng)
         fix_overlap = bool(seed % 2)
+        do_matching = None
+        if seed % 5 == 0:
+            payload["do_matching"] = False
+            do_matching = False
+            for c in payload["pdf_cells"]:
+                b = c["bbox"]
+                if isinstance(b, list):
+                    c["bbox"] = {"l": b[0], "t": b[1], "r": b[2], "b": b[3]}
         try:
             ref_out, ref_details, ref_pred = _reference_full_chain(
-                copy.deepcopy(payload), correct_overlapping_cells=fix_overlap
+                copy.deepcopy(payload),
+                correct_overlapping_cells=fix_overlap,
+                do_matching=do_matching,
             )
             ref_exc = None
         except IndexError:
