@@ -202,19 +202,23 @@ def main():
             n_scaling, w = run_extraction_only(s, scaling_path)
             walls[cores].append(w)
             s.stop()
-    prev_tps = None
     for cores in (4, 16):
         wall = min(walls[cores])
-        tps = n_scaling / wall
         scaling[f"local[{cores}]"] = {
             "turns": n_scaling,
             "sec": round(wall, 3),
             "runs_sec": [round(w, 3) for w in walls[cores]],
-            "turns_per_sec": round(tps, 1),
+            "turns_per_sec": round(n_scaling / wall, 1),
         }
-        if prev_tps is not None:
-            scaling["efficiency_N_to_4N"] = round(tps / (4 * prev_tps), 3)
-        prev_tps = tps
+    # efficiency from per-visit PAIRED ratios: each visit's [4, 16] runs
+    # execute back-to-back under the same machine conditions, so their
+    # ratio cancels drift that cross-visit minima would not
+    per_visit = [
+        round((n_scaling / w16) / (4 * (n_scaling / w4)), 3)
+        for w4, w16 in zip(walls[4], walls[16])
+    ]
+    scaling["efficiency_per_visit"] = per_visit
+    scaling["efficiency_N_to_4N"] = sorted(per_visit)[len(per_visit) // 2]
 
     result = {
         "metric": "extraction turns/sec + headline query wall time",
