@@ -32,11 +32,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_TMP = os.environ.get("SPARK_GRAFT_BENCH_TMP", "/tmp/spark_graft_bench")
 
-# The synthetic transcript files compress to ~60 KB; size their splits by
-# rows, not bytes, so every core gets work (a production scan of
-# uncompressed-text parquet needs no such override).  Applied only around
-# the transcript read — the TPC-H-style scans keep the default 128 MB.
-TRANSCRIPT_SPLIT_BYTES = "32000"
+# Task sizing: this environment's python-exchange tasks carry a measured
+# ~170 ms FIXED cost each (JVM-side runner setup; hard cost, additive
+# even with a busy reused worker).  Production tuning applies identically
+# at 100 TB: tasks must carry seconds of work.  The transcript inputs are
+# therefore written as one-parquet-file-per-intended-task (64-128
+# substantial files), and the read pins openCostInBytes =
+# maxPartitionBytes so exactly one file lands in each split — no 32 KB
+# split hack, no half-empty micro-tasks.
+ONE_FILE_PER_TASK = {
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.files.openCostInBytes": "134217728",
+}
 
 # headline query subset (one per operator family; the full 26-oracle set
 # runs in the correctness gate, not here)
@@ -74,17 +81,16 @@ def run_extraction_only(spark, input_path):
     )
 
     conf = spark.conf
-    old_max = conf.get("spark.sql.files.maxPartitionBytes")
-    old_cost = conf.get("spark.sql.files.openCostInBytes")
-    conf.set("spark.sql.files.maxPartitionBytes", TRANSCRIPT_SPLIT_BYTES)
-    conf.set("spark.sql.files.openCostInBytes", "0")
+    old = {k: conf.get(k) for k in ONE_FILE_PER_TASK}
+    for k, v in ONE_FILE_PER_TASK.items():
+        conf.set(k, v)
     transcripts = spark.read.parquet(input_path)
     n = transcripts.count()
     t0 = time.perf_counter()
     extract_transcripts(transcripts).write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
-    conf.set("spark.sql.files.maxPartitionBytes", old_max)
-    conf.set("spark.sql.files.openCostInBytes", old_cost)
+    for k, v in old.items():
+        conf.set(k, v)
     return n, wall
 
 
@@ -101,10 +107,9 @@ def run_extraction(spark, input_path):
     )
 
     conf = spark.conf
-    old_max = conf.get("spark.sql.files.maxPartitionBytes")
-    old_cost = conf.get("spark.sql.files.openCostInBytes")
-    conf.set("spark.sql.files.maxPartitionBytes", TRANSCRIPT_SPLIT_BYTES)
-    conf.set("spark.sql.files.openCostInBytes", "0")
+    old = {k: conf.get(k) for k in ONE_FILE_PER_TASK}
+    for k, v in ONE_FILE_PER_TASK.items():
+        conf.set(k, v)
     transcripts = spark.read.parquet(input_path)
     t0 = time.perf_counter()
     verified = verify_against_pool(
@@ -115,8 +120,8 @@ def run_extraction(spark, input_path):
         F.sum(F.when(F.col("html_match"), 1).otherwise(0)).alias("matched"),
     ).first()
     wall = time.perf_counter() - t0
-    conf.set("spark.sql.files.maxPartitionBytes", old_max)
-    conf.set("spark.sql.files.openCostInBytes", old_cost)
+    for k, v in old.items():
+        conf.set(k, v)
     return row["n"], wall, row["matched"] / max(row["n"], 1)
 
 
@@ -133,15 +138,13 @@ def main():
     # --- prepare the shared transcript inputs once -----------------------
     # scaling evidence needs enough work that task overheads amortize
     scaling_turns = max(2 * n_turns, 120_000)
-    # File layout matters: a single-row-group parquet file cannot split,
-    # so oversized files under the 32 KB override yield mostly-empty
-    # tasks and unbalanced waves at high core counts.  Write many small
-    # single-row-group files instead — every task does equal work and
-    # openCostInBytes=0 packs them back into ~32 KB splits.
-    input_files, scaling_files = 128, 320
-    input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}_f{input_files}"
-    scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}_f{scaling_files}"
-    warm_path = f"{BENCH_TMP}/transcripts_warm_10000_f64"
+    # One file = one task (see ONE_FILE_PER_TASK): file count IS the task
+    # count.  64 input tasks (2 waves at 32 cores, ~0.6 s of work each),
+    # 128 scaling tasks (8 waves at 16 / 32 at 4, ~0.7 s each), 16 warm.
+    input_files, scaling_files = 64, 128
+    input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}_v2f{input_files}"
+    scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}_v2f{scaling_files}"
+    warm_path = f"{BENCH_TMP}/transcripts_warm_10000_v2f16"
     spark = build_session(app_name="bench-gen", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     if not Path(input_path).exists():
@@ -153,7 +156,7 @@ def main():
             scaling_files
         ).write.mode("overwrite").parquet(scaling_path)
     if not Path(warm_path).exists():
-        generate_transcripts(spark, n_turns=10_000, seed=44).repartition(64).write.mode(
+        generate_transcripts(spark, n_turns=10_000, seed=44).repartition(16).write.mode(
             "overwrite"
         ).parquet(warm_path)
 
