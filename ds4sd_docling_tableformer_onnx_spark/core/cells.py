@@ -247,16 +247,20 @@ def intersection_over_pdf_match(table_cells, pdf_cells):
     inter_w = np.minimum(tx2, px2) - np.maximum(tx1, px1)
     inter_h = np.minimum(ty2, py2) - np.maximum(ty1, py1)
     inter_area = inter_w * inter_h
-    with np.errstate(divide="ignore", invalid="ignore"):
-        iopdf = np.where(pdf_areas > 0, inter_area / pdf_areas, 0.0)
+    if (pdf_areas > 0).all():
+        iopdf = inter_area / pdf_areas
+    else:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iopdf = np.where(pdf_areas > 0, inter_area / pdf_areas, 0.0)
     keep = (~separated) & (iopdf > 0)
 
     matches = {}
     counter = 0
     cell_idx, pdf_idx = np.nonzero(keep)
-    for i, j in zip(cell_idx.tolist(), pdf_idx.tolist()):
+    scores = iopdf[cell_idx, pdf_idx].tolist()
+    for i, j, score in zip(cell_idx.tolist(), pdf_idx.tolist(), scores):
         p_id = pdf_cells[j]["id"]
-        match = {"table_cell_id": table_cells[i]["cell_id"], "iopdf": float(iopdf[i, j])}
+        match = {"table_cell_id": table_cells[i]["cell_id"], "iopdf": score}
         existing = matches.get(p_id)
         if existing is None:
             matches[p_id] = [match]
