@@ -374,6 +374,50 @@ _register(
 )
 
 
+def q_anti_semi_join(spark, sf_dir):
+    """Anti/semi joins — the resume/idempotence join shapes (S4:
+    checkpoint anti-join drops done keys; the accounting pass is a
+    left-semi count).  Oracle: orders with no lineitems (anti) and
+    high-value orders with at least one large-quantity line (semi),
+    rolled up per order status."""
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    no_lines = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], "left_anti"
+    ).select("o_orderstatus", F.lit(1).alias("is_orphan"))
+    big_lines = lineitem.where(F.col("l_quantity") >= 45)
+    with_big = orders.join(
+        big_lines, orders["o_orderkey"] == big_lines["l_orderkey"], "left_semi"
+    ).select("o_orderstatus", F.lit(0).alias("is_orphan"))
+    return (
+        no_lines.unionAll(with_big)
+        .groupBy("o_orderstatus", "is_orphan")
+        .agg(F.count("*").cast("long").alias("orders"))
+    )
+
+
+_register(
+    "anti_semi_join",
+    q_anti_semi_join,
+    """
+    WITH no_lines AS (
+        SELECT o_orderstatus, 1 AS is_orphan FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    ), with_big AS (
+        SELECT o_orderstatus, 0 AS is_orphan FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    ), unioned AS (
+        SELECT * FROM no_lines UNION ALL SELECT * FROM with_big
+    )
+    SELECT o_orderstatus, is_orphan, count(*) AS orders
+    FROM unioned GROUP BY o_orderstatus, is_orphan
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Join family (J1/J2/J5-J8): theta, interval/band, adjacency self-join
 # ---------------------------------------------------------------------------
