@@ -85,25 +85,41 @@ def count_cells(tags):
     return sum(1 for t in tags if t in CELL_TAGS)
 
 
-def _run_right(grid, x, y):
-    """1 + length of the consecutive {lcel,xcel} run right of (x, y).
+# Stop-lists for the span walkers (otsl.py:102,115).  The walkers stop
+# only on these tags — any OTHER token (lcel/xcel, but also non-OTSL
+# garbage in a malformed stream) is walked THROUGH and counted into the
+# span; a walk that hits the grid edge without a stop tag keeps its
+# final +1.  Identical to lcel/xcel run-counting on well-formed grids,
+# but parity on arbitrary streams requires the reference's exact loop.
+_DOWN_STOP = ("fcel", "ched", "rhed", "srow", "ecel", "lcel", "nl")
+_RIGHT_STOP = ("fcel", "ched", "rhed", "srow", "ecel", "ucel", "nl")
 
-    Equivalent to the reference's right walker (otsl.py:112-122): the
-    walk continues through *both* ``lcel`` and ``xcel``.
-    """
+
+def _run_right(grid, x, y):
+    """Horizontal span extent from (x, y) (otsl.py:112-122)."""
     row = grid[y]
-    j = x + 1
-    while j < len(row) and row[j] in ("lcel", "xcel"):
-        j += 1
-    return j - x
+    distance = 1
+    elem = "lcel"
+    while elem not in _RIGHT_STOP and x < len(row) - 1:
+        x += 1
+        distance += 1
+        elem = row[x]
+    if elem in _RIGHT_STOP:
+        distance -= 1
+    return distance
 
 
 def _run_down(grid, x, y):
-    """1 + length of the consecutive {ucel,xcel} run below (x, y)."""
-    i = y + 1
-    while i < len(grid) and grid[i][x] in ("ucel", "xcel"):
-        i += 1
-    return i - y
+    """Vertical span extent from (x, y) (otsl.py:99-109)."""
+    distance = 1
+    elem = "ucel"
+    while elem not in _DOWN_STOP and y < len(grid) - 1:
+        y += 1
+        distance += 1
+        elem = grid[y][x]
+    if elem in _DOWN_STOP:
+        distance -= 1
+    return distance
 
 
 def otsl_to_html(tags):

@@ -314,3 +314,74 @@ def test_html_mode_cell_builder_property_differential(stream):
     expected = ref_build(list(html), [list(b) for b in bboxes], list(classes))
     got = build_table_cells_html(html, bboxes, classes)
     assert canonical_json(got) == canonical_json(expected)
+
+
+@st.composite
+def adversarial_token_streams(draw):
+    """Arbitrary token soup: OTSL tags, HTML structure tokens, span
+    tokens, garbage words, stray sentinels — exercises the converters'
+    pass-through and failure branches, not just well-formed grids."""
+    vocab = [
+        "fcel", "ecel", "lcel", "ucel", "xcel", "ched", "rhed", "srow", "nl",
+        "<td>", "</td>", "<td", ">", "<tr>", "</tr>", "<thead>", "</thead>",
+        "<tbody>", "</tbody>", ' colspan="2"', ' rowspan="3"', ' colspan="21"',
+        "<pad>", "<start>", "<end>", "garbage", "", "<b>", "</b>",
+    ]
+    return draw(st.lists(st.sampled_from(vocab), min_size=0, max_size=40))
+
+
+@needs_reference
+@settings(
+    max_examples=500,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(adversarial_token_streams())
+def test_otsl_html_converters_adversarial_differential(stream):
+    """Both converters must match the reference token-for-token (or fail
+    exactly when it fails) on arbitrary token soup."""
+    import docling_ibm_models.tableformer.otsl as ref_otsl
+
+    try:
+        ref_html = ref_otsl.otsl_to_html(list(stream), False)
+        ref_exc = None
+    except Exception as exc:
+        ref_html, ref_exc = None, type(exc).__name__
+    try:
+        my_html = o.otsl_to_html(list(stream))
+        my_exc = None
+    except Exception as exc:
+        my_html, my_exc = None, type(exc).__name__
+    assert my_exc == ref_exc
+    if ref_exc is None:
+        assert my_html == ref_html
+
+    table = {
+        "html": {"structure": {"tokens": list(stream)}},
+        "split": "t",
+        "filename": "t",
+    }
+    try:
+        ref_ok, ref_out = ref_otsl.html_to_otsl(table, None, False, False, True, False)
+        ref_exc = None
+    except IndexError:
+        # reference defect, not parity: a span token with no preceding
+        # cell indexes an empty expands list (otsl.py:473).  This stream
+        # shape cannot arise from otsl_to_html output (the internal
+        # caller); at the public API edge the engine degrades to a
+        # conversion failure instead of crashing.
+        my_ok, _ = o.html_to_otsl(list(stream))
+        return
+    except Exception as exc:
+        ref_ok, ref_exc = None, type(exc).__name__
+    try:
+        my_ok, my_out = o.html_to_otsl(list(stream))
+        my_exc = None
+    except Exception as exc:
+        my_ok, my_exc = None, type(exc).__name__
+    assert my_exc == ref_exc
+    if ref_exc is None:
+        assert my_ok == ref_ok
+        if ref_ok:
+            assert my_out["tokens"] == ref_out["html"]["structure"]["tokens"]
+            assert my_out["spans"] == ref_out["otsl_spans"]
