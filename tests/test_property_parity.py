@@ -385,3 +385,61 @@ def test_otsl_html_converters_adversarial_differential(stream):
         if ref_ok:
             assert my_out["tokens"] == ref_out["html"]["structure"]["tokens"]
             assert my_out["spans"] == ref_out["otsl_spans"]
+
+
+@needs_reference
+@settings(
+    max_examples=500,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(adversarial_token_streams())
+def test_square_pad_clean_and_cell_builder_adversarial(stream):
+    """D5/D6/P4 + the OTSL-mode cell builder (D9) vs the reference on
+    arbitrary token soup (incl. consecutive/leading/trailing nl and
+    non-OTSL tokens)."""
+    import docling_ibm_models.tableformer.otsl as ref_otsl
+
+    from ._reference_stubs import load_tf_predictor
+
+    if load_tf_predictor() is None:  # stubs the ML deps, loads tf_predictor
+        pytest.skip("reference tf_predictor not importable")
+    from docling_ibm_models.tableformer.data_management import tf_predictor as tfp
+    from docling_ibm_models.tableformer.data_management.tf_cell_matcher import (
+        CellMatcher,
+    )
+
+    from ds4sd_docling_tableformer_onnx_spark.core.cells import build_table_cells
+
+    assert o.is_square(stream) == tfp.otsl_sqr_chk(list(stream), False)
+    assert o.pad_to_square(stream, "lcel") == ref_otsl.otsl_pad_to_sqr(
+        list(stream), "lcel"
+    )
+    assert o.clean_tags(stream) == ref_otsl.otsl_clean(list(stream))
+
+    html = o.otsl_to_html(list(stream))
+    n = sum(1 for t in stream if t in ("fcel", "ecel", "xcel", "ched", "rhed", "srow"))
+    bboxes = [[float(i), float(i + 1), float(i + 2), float(i + 3)] for i in range(max(0, n - 1))]
+    classes = [2] * len(bboxes)
+    matcher = CellMatcher({"predict": {"pdf_cell_iou_thres": 0.05}})
+    try:
+        expected = matcher._build_table_cells(
+            list(html), list(stream), [list(b) for b in bboxes], list(classes)
+        )
+        ref_exc = None
+    except IndexError:
+        # the reference's internal html_to_otsl crashes on orphan span
+        # tokens (otsl.py:473, same defect as above); the engine treats
+        # that as a failed span computation and proceeds spanless
+        build_table_cells(html, stream, bboxes, classes)
+        return
+    except Exception as exc:
+        expected, ref_exc = None, type(exc).__name__
+    try:
+        got = build_table_cells(html, stream, bboxes, classes)
+        my_exc = None
+    except Exception as exc:
+        got, my_exc = None, type(exc).__name__
+    assert my_exc == ref_exc
+    if ref_exc is None:
+        assert canonical_json(got) == canonical_json(expected)
