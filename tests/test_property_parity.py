@@ -443,3 +443,26 @@ def test_square_pad_clean_and_cell_builder_adversarial(stream):
     assert my_exc == ref_exc
     if ref_exc is None:
         assert canonical_json(got) == canonical_json(expected)
+
+
+@needs_reference
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-2, 2, allow_nan=False, width=64), min_size=4, max_size=4),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(st.floats(0, 800, allow_nan=False, width=64), min_size=4, max_size=4),
+)
+def test_translate_bboxes_bit_exact_differential(cell_bboxes, table_bbox):
+    """F7/J1 prerequisite: the table->page affine + y-flip must be
+    BIT-exact vs the reference's vectorized _translate_bboxes on random
+    floats (the op order is SHA-pinned; any reassociation shows here)."""
+    from ds4sd_docling_tableformer_onnx_spark.core.cells import translate_bboxes
+
+    ref = CellMatcher(_CONFIG)._translate_bboxes(
+        list(table_bbox), [list(b) for b in cell_bboxes]
+    )
+    mine = translate_bboxes(list(table_bbox), [list(b) for b in cell_bboxes])
+    assert canonical_json(mine) == canonical_json(ref)
