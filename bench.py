@@ -168,11 +168,16 @@ def main():
     QUERIES[HEADLINE[0]](spark, SF_DIR).count()
 
     # --- headline relational / pipeline queries at CPUS cores -----------
+    # best of 2 per query: a single cold shot folds plan-compilation and
+    # noisy-neighbor jitter into the number
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _count(fn(spark, SF_DIR))
-        dt = time.perf_counter() - t0
+        dt = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _count(fn(spark, SF_DIR))
+            run = time.perf_counter() - t0
+            dt = run if dt is None else min(dt, run)
         timings[name] = round(dt, 3)
         total += dt
 
