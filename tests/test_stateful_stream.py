@@ -60,3 +60,57 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     }
     assert per_conv == expected
     df.unpersist()
+
+
+def test_watermarked_rollup_merges_ontime_drops_late(spark, tmp_path):
+    """stream_conversation_counts: out-of-order turns within the 30-min
+    watermark merge into their window; turns arriving after the
+    watermark passed their window are dropped (append mode only emits
+    finalized windows)."""
+    import pyspark.sql.functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.streaming.stream import (
+        run_to_completion,
+        stream_conversation_counts,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            [(c, i, "assistant", "{}", "{}", ts, 0) for i, (c, ts) in enumerate(rows)],
+            "conv_id string, turn_idx int, role string, text string, tool string, "
+            "ts_s string, payload_id int",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        df.coalesce(1).write.mode("overwrite").parquet(str(in_dir / name))
+
+    # batch 1: three turns in window 10:00-10:10 (out of order), plus a
+    # much later turn that will advance the watermark past that window
+    write_file("f1", [
+        ("conv-a", "2026-01-01 10:03:00"),
+        ("conv-a", "2026-01-01 10:01:00"),
+        ("conv-a", "2026-01-01 10:07:00"),
+        ("conv-b", "2026-01-01 12:00:00"),
+    ])
+    counts = stream_conversation_counts(spark, str(in_dir) + "/*")
+    run_to_completion(counts, out_dir, ckpt)
+
+    # batch 2: a turn for the SAME 10:00 window, now behind the
+    # watermark (12:00 - 30 min = 11:30) -> must be dropped; plus a
+    # watermark-advancing flush row so remaining windows finalize
+    write_file("f2", [
+        ("conv-a", "2026-01-01 10:05:00"),
+        ("conv-b", "2026-01-01 15:00:00"),
+    ])
+    run_to_completion(stream_conversation_counts(spark, str(in_dir) + "/*"), out_dir, ckpt)
+
+    got = {
+        (r["conv_id"], str(r["win"]["start"])): r["turns"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 10:00 window finalized with the 3 on-time turns; the late 4th
+    # never appears (no second emission for that window either)
+    assert got[("conv-a", "2026-01-01 10:00:00")] == 3
+    assert ("conv-b", "2026-01-01 12:00:00") in got
