@@ -69,9 +69,12 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
             batch.column("text").to_pylist(),
             batch.column("tool").to_pylist(),
         ):
-            payload_sha = hashlib.sha256(
-                (text + "\x00" + tool).encode("utf-8")
-            ).hexdigest()
+            # NULL-safe payload key, replicating concat_ws("\x00", text,
+            # tool) exactly (concat_ws drops null parts) so this hash
+            # always equals resume_filter's JVM-side sha2 and a null
+            # payload is isolated as an error row, never a task crash
+            joined = "\x00".join(p for p in (text, tool) if p is not None)
+            payload_sha = hashlib.sha256(joined.encode("utf-8")).hexdigest()
             out["payload_sha256"].append(payload_sha)
             # Per-turn isolation must be exception-safe mid-row: compute
             # the whole row first, append to the column lists only once

@@ -137,3 +137,38 @@ def test_partial_resume_extracts_only_missing_turns(spark, tmp_path):
     _, skipped2 = run_with_checkpoint(spark, mutated, path, run_id="r3")
     n_mutated = df.where("turn_idx = 1").count()
     assert skipped2 == 100 - n_mutated
+
+
+def test_null_payloads_are_isolated_error_rows(spark):
+    """A NULL text/tool must become one error row (per-turn isolation),
+    never a task crash — and its payload hash must still equal the
+    JVM-side concat_ws sha2 the resume filter computes."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    ts = datetime.datetime(2026, 1, 1)
+    good = (
+        '{"otsl": ["fcel","nl"], "bboxes": [], "classes": [], '
+        '"table_bbox": [0,0,1,1]}'
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "x", None, None, ts),
+            ("c1", 1, "x", good, "{}", ts),
+            ("c1", 2, "x", None, "{}", ts),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = {r["turn_idx"]: r for r in extract_transcripts(df).collect()}
+    assert not rows[0]["ok"] and not rows[2]["ok"] and rows[1]["ok"]
+    assert "TypeError" in rows[0]["err"]
+
+    jvm = {
+        r["turn_idx"]: r["sha"]
+        for r in df.select(
+            "turn_idx", F.sha2(F.concat_ws("\x00", "text", "tool"), 256).alias("sha")
+        ).collect()
+    }
+    for i in (0, 1, 2):
+        assert rows[i]["payload_sha256"] == jvm[i]
