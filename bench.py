@@ -66,6 +66,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "embedding_neardup",
     "token_count",
+    "boilerplate_strip",
+    "reading_order",
 ]
 
 

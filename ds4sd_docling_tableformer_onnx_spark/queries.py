@@ -374,6 +374,78 @@ _register(
 )
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """North-star main-content extraction: synthesize a full page (nav /
+    header / link-farm / footer chrome around the document text), strip
+    it with the text-density + link-density block classifier, return the
+    whitespace-normalized main text.  Value-checked oracle via the
+    reconstruction fixed point: the stripper must return exactly the
+    article text the page was synthesized around."""
+    from pyspark.sql import functions as F
+
+    from .operators.maincontent import strip_boilerplate_column, synthesize_pages
+
+    docs = _read(spark, sf_dir, "documents")
+    stripped = strip_boilerplate_column(synthesize_pages(docs))
+    return stripped.select(
+        "doc_id",
+        F.regexp_replace(F.col("main_text"), r"\s+", " ").alias("main_norm"),
+    )
+
+
+_register(
+    "boilerplate_strip",
+    q_boilerplate_strip,
+    r"""
+    SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS main_norm
+    FROM documents
+    """,
+)
+
+
+def q_reading_order(spark, sf_dir):
+    """North-star layout parse: place each document's words on a page
+    grid (5 tokens/line, distinct line bands), run the reading-order
+    clustering over the resulting pdf-cell tokens, and return the
+    normalized ordered text.  Oracle fixed point: reading order must
+    reconstruct the original word order."""
+    from pyspark.sql import functions as F
+
+    from .operators.maincontent import reading_order_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.transform(
+        words,
+        lambda w, i: F.struct(
+            i.alias("id"),
+            w.alias("text"),
+            F.array(
+                ((i % 5) * 20.0).cast("double"),
+                (1000.0 - F.floor(i / 5) * 15.0).cast("double"),
+                ((i % 5) * 20.0 + 10.0).cast("double"),
+                (1000.0 - F.floor(i / 5) * 15.0 + 8.0).cast("double"),
+            ).alias("bbox"),
+        ),
+    )
+    tokenized = docs.select("doc_id", F.to_json(toks).alias("tokens_json"))
+    spans = reading_order_spans(tokenized)
+    return spans.select(
+        "doc_id",
+        F.regexp_replace(F.col("ordered_text"), r"\s+", " ").alias("ordered_norm"),
+    )
+
+
+_register(
+    "reading_order",
+    q_reading_order,
+    r"""
+    SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS ordered_norm
+    FROM documents
+    """,
+)
+
+
 def q_anti_semi_join(spark, sf_dir):
     """Anti/semi joins — the resume/idempotence join shapes (S4:
     checkpoint anti-join drops done keys; the accounting pass is a
