@@ -75,6 +75,27 @@ def _count(df):
     return df.count()
 
 
+def _burn(_):
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(20_000_000):
+        x += i
+    return time.perf_counter() - t0
+
+
+def _cpu_ceiling(n_small: int, n_big: int) -> float:
+    """Per-core python throughput ratio between n_big-way and n_small-way
+    load — the turbo-clock scaling ceiling for any CPU-bound job here."""
+    import multiprocessing as mp
+
+    rates = {}
+    for n in (n_small, n_big):
+        with mp.Pool(n) as pool:
+            times = pool.map(_burn, range(n))
+        rates[n] = n / (sum(times) / n)  # total work-units per second
+    return rates[n_big] / (rates[n_small] * (n_big / n_small))
+
+
 def run_extraction_only(spark, input_path):
     """Pure extraction throughput: full-output extraction into a noop
     sink (no driver-side collect, no verification join)."""
@@ -138,12 +159,13 @@ def main():
     n_turns = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}.get(sf_label, 5_000)
 
     # --- prepare the shared transcript inputs once -----------------------
-    # scaling evidence needs enough work that task overheads amortize
-    scaling_turns = max(2 * n_turns, 120_000)
+    # scaling evidence needs enough work that task overheads amortize,
+    # but short enough that 5 interleaved visits fit the bench budget
+    scaling_turns = max(n_turns, 80_000)
     # One file = one task (see ONE_FILE_PER_TASK): file count IS the task
     # count.  64 input tasks (2 waves at 32 cores, ~0.6 s of work each),
     # 128 scaling tasks (8 waves at 16 / 32 at 4, ~0.7 s each), 16 warm.
-    input_files, scaling_files = 64, 128
+    input_files, scaling_files = 64, 96
     input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}_v2f{input_files}"
     scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}_v2f{scaling_files}"
     warm_path = f"{BENCH_TMP}/transcripts_warm_10000_v2f16"
@@ -202,9 +224,13 @@ def main():
     # visits, fresh session each visit, warm run per session — and each
     # level takes its least-contended (min-wall) sample.
     scaling = {}
+    # hardware ceiling for the ratio: pure-python multiprocessing burn at
+    # both widths — core-count-dependent turbo clocks alone cost ~12-14%
+    # on this box, so ~0.87 is the best any CPU-bound job can show
+    scaling["hardware_ceiling_4_to_16"] = round(_cpu_ceiling(4, 16), 3)
     walls = {c: [] for c in (4, 16)}
     n_scaling = None
-    for _visit in range(3):
+    for _visit in range(5):
         for cores in (4, 16):
             s = build_session(app_name=f"bench-{cores}", cores=cores)
             s.sparkContext.setLogLevel("ERROR")
