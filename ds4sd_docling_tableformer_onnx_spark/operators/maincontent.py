@@ -161,3 +161,46 @@ def synthesize_pages(docs_df, id_col: str = "doc_id", text_col: str = "text"):
         F.col(id_col).alias("doc_id"),
         _page(F.col(id_col), F.col(text_col)).alias("html"),
     )
+
+
+def strip_transcript_turns(df, text_col: str = "text"):
+    """Transcript-shaped wrapper: per-turn boilerplate strip over
+    (conv_id, turn_idx, text-as-HTML) keeping turn lineage — the same
+    narrow mapInArrow shape as extract_transcripts, so an HTML-payload
+    corpus runs the main-content path with identical partitioning,
+    checkpointing and skew behavior."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from ..core.boilerplate import strip_boilerplate
+
+    def batches(it):
+        for batch in it:
+            texts, n_blocks, n_content, shas = [], [], [], []
+            for html in batch.column("text").to_pylist():
+                main, nb, nc = strip_boilerplate(html)
+                texts.append(main)
+                n_blocks.append(nb)
+                n_content.append(nc)
+                shas.append(hashlib.sha256(main.encode("utf-8")).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("conv_id").cast(pa.string()),
+                    batch.column("turn_idx").cast(pa.int32()),
+                    pa.array(texts, pa.string()),
+                    pa.array(n_blocks, pa.int32()),
+                    pa.array(n_content, pa.int32()),
+                    pa.array(shas, pa.string()),
+                ],
+                names=["conv_id", "turn_idx", "main_text", "n_blocks",
+                       "n_content_blocks", "main_sha256"],
+            )
+
+    pruned = df.select("conv_id", "turn_idx", F.col(text_col).alias("text"))
+    return pruned.mapInArrow(
+        batches,
+        schema=(
+            "conv_id string, turn_idx int, main_text string, n_blocks int, "
+            "n_content_blocks int, main_sha256 string"
+        ),
+    )

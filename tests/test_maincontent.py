@@ -125,3 +125,34 @@ def test_boilerplate_spark_operator_shuffle_free(spark):
     # near-good word floor)
     assert recovered >= 0.95 * len(rows)
     assert all(r["n_content_blocks"] < r["n_blocks"] for r in rows)
+
+
+def test_tokenizer_never_crashes_on_soup():
+    """Random malformed HTML soup: the streaming tokenizer salvages what
+    it can and the classifier stays total."""
+    rng = random.Random(4)
+    frags = ["<p>", "</p>", "<div", ">", "<a href='x'>", "</a>", "<nav>", "</nav>",
+             "&#xx;", "&amp;", "<![bad[", "<!--", "-->", "< p>", "<<>", "text ",
+             _words(8), _words(20), "\x00", "<td", "</html>"]
+    for _ in range(500):
+        soup = "".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
+        main, nb, nc = strip_boilerplate(soup)
+        assert nc <= nb
+        assert isinstance(main, str)
+
+
+def test_transcript_turn_wrapper(spark):
+    from ds4sd_docling_tableformer_onnx_spark.operators.maincontent import (
+        strip_transcript_turns,
+    )
+
+    rows = [("c1", i, synthesize_page(i, _words(60, seed=i))) for i in range(8)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = strip_transcript_turns(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    got = {r["turn_idx"]: r for r in out.collect()}
+    assert len(got) == 8
+    for i in range(8):
+        assert " ".join(got[i]["main_text"].split()) == _words(60, seed=i)
+        assert got[i]["conv_id"] == "c1"
