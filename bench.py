@@ -8,9 +8,9 @@ Prints ONE JSON line:
                     "pass_rate": ..., "scaling": {...}}}
 
 Scaling evidence (north_rule: >=0.8 efficiency between N and 4N
-executors): the identical extraction job runs at local[8] and local[32]
-over the same parquet input; turns/sec at both plus efficiency
-(throughput_32 / (4 * throughput_8)) are reported.  The in-process
+executors): the identical extraction job runs at local[4] and local[16]
+over the same parquet input; turns/sec at both plus the median
+per-visit paired efficiency are reported.  The in-process
 threading of the reference collapses beyond 2 threads
 (BASELINE.md thread sweep); partition parallelism is the scale axis.
 
@@ -45,7 +45,7 @@ ONE_FILE_PER_TASK = {
     "spark.sql.files.openCostInBytes": "134217728",
 }
 
-# headline query subset (one per operator family; the full 26-oracle set
+# headline query subset (one per operator family; the full 34-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
     "dense_rank_reindex",
@@ -164,7 +164,7 @@ def main():
     scaling_turns = max(n_turns, 80_000)
     # One file = one task (see ONE_FILE_PER_TASK): file count IS the task
     # count.  64 input tasks (2 waves at 32 cores, ~0.6 s of work each),
-    # 128 scaling tasks (8 waves at 16 / 32 at 4, ~0.7 s each), 16 warm.
+    # 96 scaling tasks (6 waves at 16 / 24 at 4, ~0.7 s each), 16 warm.
     input_files, scaling_files = 64, 96
     input_path = f"{BENCH_TMP}/transcripts_{sf_label}_{n_turns}_v2f{input_files}"
     scaling_path = f"{BENCH_TMP}/transcripts_scaling_{scaling_turns}_v2f{scaling_files}"
