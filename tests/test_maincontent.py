@@ -156,3 +156,41 @@ def test_transcript_turn_wrapper(spark):
     for i in range(8):
         assert " ".join(got[i]["main_text"].split()) == _words(60, seed=i)
         assert got[i]["conv_id"] == "c1"
+
+
+def test_reading_order_recovers_random_layouts():
+    """Property: tokens placed on well-separated random lines with
+    vertical jitter under the clustering tolerance are always recovered
+    in construction order, from any input permutation."""
+    rng = random.Random(31)
+    for _ in range(200):
+        n_lines = rng.randint(1, 8)
+        toks, expect = [], []
+        tid = 0
+        y = 1000.0
+        for li in range(n_lines):
+            n_tok = rng.randint(1, 6)
+            x = 0.0
+            for _t in range(n_tok):
+                jitter = rng.uniform(-1.9, 1.9)  # pairwise spread < 0.5*h tolerance
+                toks.append(_token(tid, f"t{tid}", x, y + jitter))
+                expect.append(f"t{tid}")
+                tid += 1
+                x += rng.uniform(12.0, 30.0)
+            y -= rng.uniform(20.0, 40.0)  # gap > tolerance: new line
+        rng.shuffle(toks)
+        got = spans_text(toks).replace("\n", " ").split()
+        assert got == expect
+
+
+def test_strip_never_hallucinates_words():
+    """Property: every word in the stripped output appears in the input
+    HTML — the stripper only removes, never invents."""
+    rng = random.Random(77)
+    for _ in range(200):
+        text = _words(rng.randint(0, 80), seed=rng.randint(0, 999))
+        html = synthesize_page(rng.randint(0, 500), text)
+        main, _, _ = strip_boilerplate(html)
+        html_words = set(html.replace("<", " <").replace(">", "> ").split())
+        for w in main.split():
+            assert w in html_words
