@@ -68,56 +68,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return _extraction_pipeline(spark, "/root/testdata/sf0.001")
 
 
-def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
-        simhash_candidates,
-        simhash_column,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_candidates(simhash_column(docs)).orderBy("id_a", "id_b")
-
-
-def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
-        lsh_bucketed_topk,
-    )
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = emb.where("vec_id = 0").first()["embedding"]
-    return lsh_bucketed_topk(emb.where("vec_id <> 0"), list(query), k=10)
-
-
-def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import ivf_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    query = emb.where("vec_id = 0").first()["embedding"]
-    return ivf_topk(emb.where("vec_id <> 0"), list(query), k=10, n_lists=8, nprobe=4, seed=7)
-
-
-def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from ds4sd_docling_tableformer_onnx_spark.operators.multimodal import (
-        extract_media_features,
-    )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
-    )
-    return extract_media_features(docs, "doc_id", "blob", kind="image")
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(QUERIES)
-    # Non-SQL-expressible operators (driver records rows-only checks):
-    out["extraction_pipeline"] = _extraction_pipeline
-    out["simhash_candidates"] = _simhash_pairs
-    out["lsh_ann_topk"] = _lsh_ann
-    out["ivf_ann_topk"] = _ivf_ann
-    out["media_feature_stub"] = _media_features
-    return out
+    # Every entry is oracle-checked (QUERIES/ORACLES are registered in
+    # pairs — including the flagship extraction summary, the LSH/SimHash
+    # paths replicated bit-for-bit in DuckDB SQL, and the IVF
+    # asserted-in-query recall verdict).
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:

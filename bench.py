@@ -45,6 +45,10 @@ ONE_FILE_PER_TASK = {
     "spark.sql.files.openCostInBytes": "134217728",
 }
 
+# interleaved [N, 4N] scaling visits (min-wall per level; see the
+# scaling-evidence comment in main())
+SCALING_VISITS = 5
+
 # headline query subset (one per operator family; the full 34-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
@@ -220,9 +224,10 @@ def main():
     # This shared VM has multi-minute noisy-neighbor episodes (~40% CPU
     # degradation).  Measuring all N-core runs in one block and all
     # 4N-core runs in another lets one episode skew the ratio in either
-    # direction, so the levels are INTERLEAVED in time — [N, 4N] x 3
-    # visits, fresh session each visit, warm run per session — and each
-    # level takes its least-contended (min-wall) sample.
+    # direction, so the levels are INTERLEAVED in time — [N, 4N] x
+    # SCALING_VISITS visits, fresh session each visit, warm run per
+    # session — and each level takes its least-contended (min-wall)
+    # sample.
     scaling = {}
     # hardware ceiling for the ratio: pure-python multiprocessing burn at
     # both widths — core-count-dependent turbo clocks alone cost ~12-14%
@@ -230,7 +235,7 @@ def main():
     scaling["hardware_ceiling_4_to_16"] = round(_cpu_ceiling(4, 16), 3)
     walls = {c: [] for c in (4, 16)}
     n_scaling = None
-    for _visit in range(5):
+    for _visit in range(SCALING_VISITS):
         for cores in (4, 16):
             s = build_session(app_name=f"bench-{cores}", cores=cores)
             s.sparkContext.setLogLevel("ERROR")

@@ -107,13 +107,19 @@ class _BlockTokenizer(HTMLParser):
 
 
 def tokenize_blocks(html: str):
-    """HTML string -> flat block-table dict of parallel lists."""
+    """HTML string -> flat block-table dict of parallel lists.
+
+    A tokenizer exception salvages whatever flushed before the
+    malformed region but is RECORDED (``parse_error``) rather than
+    swallowed, so the operator can surface truncated parses instead of
+    silently emitting partial output."""
     tok = _BlockTokenizer()
+    parse_error = False
     try:
         tok.feed(html or "")
         tok.close()
     except Exception:
-        pass  # salvage whatever was flushed before the malformed region
+        parse_error = True
     tok._flush()
     return {
         "text": tok.texts,
@@ -122,6 +128,7 @@ def tokenize_blocks(html: str):
         "n_link_chars": tok.n_link_chars,
         "tag": tok.tags,
         "in_boiler_container": tok.in_boiler_container,
+        "parse_error": parse_error,
     }
 
 
@@ -153,11 +160,11 @@ def classify_blocks(blocks):
 
 
 def strip_boilerplate(html: str):
-    """One document -> (main_text, n_blocks, n_content_blocks).
+    """One document -> (main_text, n_blocks, n_content_blocks, parse_error).
 
     The per-turn entry point the Spark operator batches over.
     """
     blocks = tokenize_blocks(html)
     keep = classify_blocks(blocks)
     main = "\n".join(t for t, k in zip(blocks["text"], keep) if k)
-    return main, len(keep), sum(keep)
+    return main, len(keep), sum(keep), blocks["parse_error"]

@@ -31,23 +31,49 @@ def simhash_column(df, text_col: str = "text", bits: int = 64):
         import numpy as np
         import pandas as pd
 
-        out = np.zeros(len(texts), dtype=np.int64)
+        # Vectorized per Arrow batch: one md5 per *unique word in the
+        # batch* (the only unavoidable Python loop), then pure numpy —
+        # a (distinct word, row) index pair list, a 64-wide bit matrix
+        # from the word hashes, +/-1 contributions summed per (row, bit)
+        # with np.add.at, and a single packbits-style reduction.  ~64x
+        # less Python bytecode than the per-word/per-bit loop it
+        # replaces; signatures are bit-identical (regression-pinned).
+        out = np.zeros(len(texts), dtype=np.uint64)
+        row_idx: list[int] = []
+        words: list[str] = []
         for i, text in enumerate(texts):
             if not text:
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for word in set(text.split()):
-                digest = hashlib.md5(word.encode("utf-8")).digest()
-                h = int.from_bytes(digest[:8], "big")
-                for b in range(bits):
-                    acc[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(bits):
-                if acc[b] > 0:
-                    sig |= 1 << b
-            # fold into signed 64-bit
-            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.Series(out)
+            uniq = set(text.split())
+            row_idx.extend([i] * len(uniq))
+            words.extend(uniq)
+        if words:
+            vocab: dict[str, int] = {}
+            hashes: list[int] = []
+            word_id = np.empty(len(words), dtype=np.int64)
+            for j, word in enumerate(words):
+                wid = vocab.get(word)
+                if wid is None:
+                    wid = len(vocab)
+                    vocab[word] = wid
+                    digest = hashlib.md5(word.encode("utf-8")).digest()
+                    hashes.append(int.from_bytes(digest[:8], "big"))
+                word_id[j] = wid
+            hvals = np.array(hashes, dtype=np.uint64)
+            # (n_unique, bits) in {-1, +1}
+            bit_mat = (
+                ((hvals[:, None] >> np.arange(bits, dtype=np.uint64)) & 1)
+                .astype(np.int64)
+                * 2
+                - 1
+            )
+            acc = np.zeros((len(texts), bits), dtype=np.int64)
+            np.add.at(acc, np.asarray(row_idx, dtype=np.int64), bit_mat[word_id])
+            # empty rows have an all-zero acc row -> sig 0, same as before
+            out = ((acc > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out.view(np.int64))  # fold into signed 64-bit
 
     return df.withColumn("simhash", _simhash(F.col(text_col)))
 
@@ -67,9 +93,13 @@ def simhash_candidates(df, id_col: str = "doc_id"):
                     F.concat_ws(
                         ":",
                         F.lit(str(i)),
-                        (F.shiftrightunsigned("simhash", 16 * i) % (1 << 16)).cast(
-                            "string"
-                        ),
+                        # bitwiseAND, not %: signed remainder would send
+                        # negative signatures' band 0 to a negative key,
+                        # splitting buckets across the sign boundary and
+                        # breaking the hamming<=3 pigeonhole guarantee
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        .cast("string"),
                     )
                     for i in range(4)
                 ]
@@ -86,9 +116,9 @@ def simhash_candidates(df, id_col: str = "doc_id"):
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("long")
+            .alias("hamming"),
         )
         .distinct()
     )

@@ -26,7 +26,7 @@ from typing import Iterator
 
 STRIP_SCHEMA = (
     "doc_id long, main_text string, n_blocks int, n_content_blocks int, "
-    "main_sha256 string"
+    "main_sha256 string, parse_error boolean"
 )
 
 SPANS_SCHEMA = (
@@ -41,13 +41,14 @@ def _strip_batches(batches: Iterator):
 
     for batch in batches:
         ids = batch.column("doc_id")
-        texts, n_blocks, n_content, shas = [], [], [], []
+        texts, n_blocks, n_content, shas, errs = [], [], [], [], []
         for html in batch.column("html").to_pylist():
-            main, nb, nc = strip_boilerplate(html)
+            main, nb, nc, perr = strip_boilerplate(html)
             texts.append(main)
             n_blocks.append(nb)
             n_content.append(nc)
             shas.append(hashlib.sha256(main.encode("utf-8")).hexdigest())
+            errs.append(perr)
         yield pa.RecordBatch.from_arrays(
             [
                 ids.cast(pa.int64()),
@@ -55,8 +56,10 @@ def _strip_batches(batches: Iterator):
                 pa.array(n_blocks, pa.int32()),
                 pa.array(n_content, pa.int32()),
                 pa.array(shas, pa.string()),
+                pa.array(errs, pa.bool_()),
             ],
-            names=["doc_id", "main_text", "n_blocks", "n_content_blocks", "main_sha256"],
+            names=["doc_id", "main_text", "n_blocks", "n_content_blocks",
+                   "main_sha256", "parse_error"],
         )
 
 
@@ -119,11 +122,18 @@ def reading_order_spans(df, id_col: str = "doc_id", tokens_col: str = "tokens_js
 # ---------------------------------------------------------------------------
 
 def synthesize_page(doc_id: int, text: str) -> str:
+    import html as _html
+
     words = (text or "").split()
     chunks = [words[i : i + 40] for i in range(0, len(words), 40)]
-    if len(chunks) > 1 and len(chunks[-1]) < 10:
-        chunks[-2].extend(chunks.pop())  # no sub-floor trailing paragraph
-    paras = [" ".join(c) for c in chunks] or [""]
+    # merge floor = MIN_GOOD_WORDS so every interior paragraph clears the
+    # GOOD-block rule by construction (the strip->reconstruct fixed point
+    # must hold for any corpus, not just the current fixture's sizes)
+    if len(chunks) > 1 and len(chunks[-1]) < 16:
+        chunks[-2].extend(chunks.pop())
+    # escape so <, >, & in document text survive the synthesize->tokenize
+    # round trip (the tokenizer unescapes char refs)
+    paras = [_html.escape(" ".join(c)) for c in chunks] or [""]
     nav = "".join(
         f'<li><a href="/s/{doc_id}/{i}">section {i}</a></li>' for i in range(6)
     )
@@ -176,13 +186,14 @@ def strip_transcript_turns(df, text_col: str = "text"):
 
     def batches(it):
         for batch in it:
-            texts, n_blocks, n_content, shas = [], [], [], []
+            texts, n_blocks, n_content, shas, errs = [], [], [], [], []
             for html in batch.column("text").to_pylist():
-                main, nb, nc = strip_boilerplate(html)
+                main, nb, nc, perr = strip_boilerplate(html)
                 texts.append(main)
                 n_blocks.append(nb)
                 n_content.append(nc)
                 shas.append(hashlib.sha256(main.encode("utf-8")).hexdigest())
+                errs.append(perr)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("conv_id").cast(pa.string()),
@@ -191,9 +202,10 @@ def strip_transcript_turns(df, text_col: str = "text"):
                     pa.array(n_blocks, pa.int32()),
                     pa.array(n_content, pa.int32()),
                     pa.array(shas, pa.string()),
+                    pa.array(errs, pa.bool_()),
                 ],
                 names=["conv_id", "turn_idx", "main_text", "n_blocks",
-                       "n_content_blocks", "main_sha256"],
+                       "n_content_blocks", "main_sha256", "parse_error"],
             )
 
     pruned = df.select("conv_id", "turn_idx", F.col(text_col).alias("text"))
@@ -201,6 +213,6 @@ def strip_transcript_turns(df, text_col: str = "text"):
         batches,
         schema=(
             "conv_id string, turn_idx int, main_text string, n_blocks int, "
-            "n_content_blocks int, main_sha256 string"
+            "n_content_blocks int, main_sha256 string, parse_error boolean"
         ),
     )

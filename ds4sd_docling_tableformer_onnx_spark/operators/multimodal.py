@@ -2,12 +2,21 @@
 
 Images / audio / video ride through the pipeline as ``binary`` columns
 with struct metadata; decode and feature extraction run as
-``mapInPandas`` stages (Arrow batches of bytes, vectorized numpy).  The
-actual codec step is STUBBED (image/audio libraries are not available in
-this environment): ``decode_stub=True`` produces a deterministic fake
-decode — byte histograms standing in for pixel statistics — while the
-Spark-side plumbing (schema, batching, partition sizing) is real and
-tested.  Swapping the stub for PIL/ffmpeg is a one-function change.
+``mapInPandas`` stages (Arrow batches of bytes, vectorized numpy).
+
+Two decode paths behind one flag:
+
+- ``decode_stub=True`` (default here): deterministic fake decode —
+  bucket-16 byte histograms standing in for pixel statistics, computed
+  with ONE vectorized numpy pass over the whole Arrow batch (all
+  payloads concatenated, per-row offsets, ``np.add.at`` scatter); no
+  per-row Python beyond the zip that builds offsets.
+- ``decode_stub=False``: the real path — imports PIL lazily (per
+  executor worker, the broadcast-artifacts pattern) and emits the same
+  16-d shape from decoded pixel data.  The imaging libraries are not in
+  this container, so the import failure raises a clear
+  ``NotImplementedError``; the gate is exercised by a skip-marked test
+  so the wiring is real even where the codec is not.
 """
 
 from __future__ import annotations
@@ -19,36 +28,126 @@ FEATURE_SCHEMA = (
     "feature array<double>, note string"
 )
 
+_N_BUCKETS = 16
+
+
+def _tiny_png(value: int = 100) -> bytes:
+    """Minimal valid 1x1 8-bit grayscale PNG, built by hand (no codec
+    needed) — the smoke-test input for the real-decoder gate."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(bytes([0, value]))  # filter byte + one pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_decoder():
+    """Lazy per-worker construction of the real imaging path.
+
+    Returns a callable bytes -> 16-d feature list.  The gate is
+    FUNCTIONAL, not import-shaped: after importing PIL it must correctly
+    decode a known 1x1 PNG — a missing, stubbed, or broken imaging stack
+    all raise the same clear NotImplementedError (this container ships
+    no codec by design)."""
+
+    def _build():
+        import io
+
+        import numpy as np
+        from PIL import Image  # absent (or test-stubbed) in this container
+
+        def decode(data: bytes):
+            img = Image.open(io.BytesIO(data)).convert("L")
+            pixels = np.asarray(img, dtype=np.uint8).ravel()
+            hist = np.bincount(pixels // 16, minlength=_N_BUCKETS).astype(np.float64)
+            return (hist / max(pixels.size, 1)).tolist()
+
+        return decode
+
+    try:
+        decode = _build()
+        smoke = decode(_tiny_png(100))
+        if len(smoke) != _N_BUCKETS or smoke[100 // 16] != 1.0:
+            raise ValueError(f"smoke decode produced {smoke!r}")
+    except Exception as exc:
+        raise NotImplementedError(
+            "real media decode requires a working imaging stack (PIL); "
+            "not present in this container — run with decode_stub=True"
+        ) from exc
+    return decode
+
+
+def _stub_features(payloads):
+    """Vectorized stub decode for one Arrow batch: one concatenated byte
+    buffer, per-row offsets, a single np.add.at scatter into the
+    (n_rows, 16) histogram matrix."""
+    import numpy as np
+
+    n = len(payloads)
+    sizes = np.empty(n, dtype=np.int64)
+    chunks = []
+    for i, payload in enumerate(payloads):
+        data = bytes(payload) if payload is not None else b""
+        sizes[i] = len(data)
+        chunks.append(data)
+    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    hist = np.zeros((n, _N_BUCKETS), dtype=np.float64)
+    if flat.size:
+        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), sizes)
+        np.add.at(hist, (row_of_byte, flat % _N_BUCKETS), 1.0)
+    denom = np.maximum(sizes, 1).astype(np.float64)
+    return sizes, hist / denom[:, None]
+
 
 def _feature_batches(batches: Iterator, kind: str, decode_stub: bool):
-    import numpy as np
     import pandas as pd
 
+    decode = None if decode_stub else _real_decoder()
     for batch in batches:
-        rows = {k: [] for k in ("item_id", "n_bytes", "kind", "ok", "feature", "note")}
-        for item_id, payload in zip(batch["item_id"], batch["payload"]):
-            data = bytes(payload) if payload is not None else b""
-            rows["item_id"].append(int(item_id))
-            rows["n_bytes"].append(len(data))
-            rows["kind"].append(kind)
-            if not decode_stub:
-                # Real decode path: requires PIL / torchaudio / ffmpeg —
-                # not present in this container by design.
-                raise NotImplementedError(
-                    "real media decode requires imaging/audio libraries; "
-                    "run with decode_stub=True"
-                )
-            if data:
-                arr = np.frombuffer(data, dtype=np.uint8)
-                hist = np.bincount(arr % 16, minlength=16).astype(np.float64)
-                rows["feature"].append((hist / max(len(arr), 1)).tolist())
-                rows["ok"].append(True)
-                rows["note"].append("stub-decode")
-            else:
-                rows["feature"].append([0.0] * 16)
-                rows["ok"].append(False)
-                rows["note"].append("empty payload")
-        yield pd.DataFrame(rows)
+        item_ids = [int(i) for i in batch["item_id"]]
+        payloads = list(batch["payload"])
+        if decode_stub:
+            sizes, feats = _stub_features(payloads)
+            yield pd.DataFrame(
+                {
+                    "item_id": item_ids,
+                    "n_bytes": sizes,
+                    "kind": kind,
+                    "ok": sizes > 0,
+                    "feature": [f.tolist() for f in feats],
+                    "note": ["stub-decode" if s else "empty payload" for s in sizes],
+                }
+            )
+        else:
+            rows = {k: [] for k in ("item_id", "n_bytes", "kind", "ok", "feature", "note")}
+            for item_id, payload in zip(item_ids, payloads):
+                data = bytes(payload) if payload is not None else b""
+                rows["item_id"].append(item_id)
+                rows["n_bytes"].append(len(data))
+                rows["kind"].append(kind)
+                try:
+                    rows["feature"].append(decode(data) if data else [0.0] * _N_BUCKETS)
+                    rows["ok"].append(bool(data))
+                    rows["note"].append("decoded" if data else "empty payload")
+                except Exception as exc:  # per-item isolation: bad codecs
+                    rows["feature"].append([0.0] * _N_BUCKETS)
+                    rows["ok"].append(False)
+                    rows["note"].append(f"{type(exc).__name__}: {exc}"[:200])
+            yield pd.DataFrame(rows)
 
 
 def extract_media_features(df, id_col: str, payload_col: str, kind: str = "image", decode_stub: bool = True):

@@ -37,10 +37,33 @@ def cosine_topk(emb_df, query_vec, k: int = 10, id_col: str = "vec_id", vec_col:
     )
 
 
+def hash_planes(dim: int, n_planes: int = 8, seed: int = 42):
+    """Deterministic pseudo-random hyperplanes derived from md5: weight
+    (p, d) = uniform[-1, 1) from the first 8 bytes of
+    ``md5("{seed}#{p}#{d}")`` (big-endian / 2^64).
+
+    Hash-derived (instead of an RNG stream) so any engine — the DuckDB
+    correctness oracle, a JVM-side rewrite, a different executor — can
+    reproduce the exact same planes from the seed alone; sign-LSH only
+    needs a symmetric direction distribution, so uniform weights serve.
+    Returns ``np.ndarray (dim, n_planes)`` float64."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            digest = hashlib.md5(f"{seed}#{p}#{d}".encode()).digest()
+            w[d, p] = int.from_bytes(digest[:8], "big") / 2.0**64 * 2.0 - 1.0
+    return w
+
+
 def hyperplane_buckets(emb_df, n_planes: int = 8, seed: int = 42, vec_col: str = "embedding"):
     """Add an LSH ``bucket`` column: sign pattern of dot products with
-    ``n_planes`` seeded random hyperplanes (vectorized numpy per Arrow
-    batch)."""
+    ``n_planes`` hash-derived hyperplanes (vectorized numpy per Arrow
+    batch; the tiny plane matrix ships in the UDF closure — the
+    broadcast-weights pattern)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -50,9 +73,7 @@ def hyperplane_buckets(emb_df, n_planes: int = 8, seed: int = 42, vec_col: str =
         import pandas as pd
 
         mat = np.stack(vectors.to_numpy())
-        dim = mat.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
+        planes = hash_planes(mat.shape[1], n_planes, seed)
         signs = (mat @ planes) > 0
         keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
         return pd.Series(keys.astype("int32"))
@@ -75,39 +96,64 @@ def lsh_bucketed_topk(
     import numpy as np
     from pyspark.sql import functions as F
 
-    rng = np.random.default_rng(seed)
     query = np.asarray(query_vec, dtype=np.float64)
-    planes = rng.standard_normal((query.shape[0], n_planes))
+    planes = hash_planes(query.shape[0], n_planes, seed)
     qsigns = (query @ planes) > 0
     qkey = int((qsigns * (1 << np.arange(n_planes))).sum())
 
     probe_keys = {qkey}
-    if multiprobe >= 1:
-        for bit in range(n_planes):
-            probe_keys.add(qkey ^ (1 << bit))
+    from itertools import combinations
+
+    for flips in range(1, multiprobe + 1):
+        for bits in combinations(range(n_planes), flips):
+            key = qkey
+            for bit in bits:
+                key ^= 1 << bit
+            probe_keys.add(key)
 
     bucketed = hyperplane_buckets(emb_df, n_planes=n_planes, seed=seed, vec_col=vec_col)
     candidates = bucketed.where(F.col("bucket").isin(sorted(probe_keys)))
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
-def train_ivf_centroids(emb_df, n_lists: int = 16, seed: int = 42, train_limit: int = 4096, vec_col: str = "embedding"):
+def _safe_norm(mat, axis=1):
+    """Row norms with zero-vector guard (zero rows normalize to zero,
+    not NaN)."""
+    import numpy as np
+
+    norm = np.linalg.norm(mat, axis=axis, keepdims=True)
+    return np.where(norm > 0, norm, 1.0)
+
+
+def train_ivf_centroids(emb_df, n_lists: int = 16, seed: int = 42, train_limit: int = 4096, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Driver-side coarse quantizer: k-means (Lloyd, 10 iters) over a
     bounded sample — the standard IVF recipe where the quantizer trains
     on a sample and the full corpus is only ever *assigned* (one
-    vectorized pass).  Returns ``np.ndarray (n_lists, dim)``."""
+    vectorized pass).  Returns ``np.ndarray (n_lists, dim)``.
+
+    The sample is ordered by ``id_col`` before the limit so the
+    centroids (hence every downstream probe) are deterministic across
+    partitionings and reruns; at scale swap the orderBy for a seeded
+    ``TABLESAMPLE``/hash filter — determinism comes from the predicate,
+    not a global sort."""
     import numpy as np
 
     sample = np.asarray(
-        [r[0] for r in emb_df.select(vec_col).limit(train_limit).collect()],
+        [
+            r[0]
+            for r in emb_df.select(vec_col, id_col)
+            .orderBy(id_col)
+            .limit(train_limit)
+            .collect()
+        ],
         dtype=np.float64,
     )
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
     for _ in range(10):
         # cosine assignment: normalize both sides, argmax dot product
-        s = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-        c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        s = sample / _safe_norm(sample)
+        c = centroids / _safe_norm(centroids)
         assign = (s @ c.T).argmax(axis=1)
         for j in range(len(centroids)):
             members = sample[assign == j]
@@ -125,14 +171,14 @@ def ivf_assign(emb_df, centroids, vec_col: str = "embedding"):
     import numpy as np
 
     cmat = np.asarray(centroids, dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm = cmat / _safe_norm(cmat)
 
     @pandas_udf("int")
     def _assign(vectors):
         import pandas as pd
 
         mat = np.stack(vectors.to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / _safe_norm(mat)
         return pd.Series((mat @ cnorm.T).argmax(axis=1).astype("int32"))
 
     return emb_df.withColumn("ivf_list", _assign(F.col(vec_col)))
@@ -163,9 +209,10 @@ def ivf_topk(
             emb_df, n_lists=n_lists, seed=seed, vec_col=vec_col
         )
     cmat = np.asarray(centroids, dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm = cmat / _safe_norm(cmat)
     q = np.asarray(query_vec, dtype=np.float64)
-    q = q / np.linalg.norm(q)
+    qn = np.linalg.norm(q)
+    q = q / (qn if qn > 0 else 1.0)
     probe = np.argsort(-(cnorm @ q))[:nprobe].tolist()
 
     assigned = ivf_assign(emb_df, cmat, vec_col=vec_col)

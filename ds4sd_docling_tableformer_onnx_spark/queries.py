@@ -380,12 +380,18 @@ def q_boilerplate_strip(spark, sf_dir):
     it with the text-density + link-density block classifier, return the
     whitespace-normalized main text.  Value-checked oracle via the
     reconstruction fixed point: the stripper must return exactly the
-    article text the page was synthesized around."""
+    article text the page was synthesized around.  The fixed point holds
+    by construction for any document with >= MIN_GOOD_WORDS words
+    (synthesize_page escapes specials and merges sub-floor trailing
+    paragraphs); shorter docs are filtered identically on both sides so
+    a regenerated corpus cannot silently break the sweep."""
     from pyspark.sql import functions as F
 
     from .operators.maincontent import strip_boilerplate_column, synthesize_pages
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").where(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 16
+    )
     stripped = strip_boilerplate_column(synthesize_pages(docs))
     return stripped.select(
         "doc_id",
@@ -399,6 +405,7 @@ _register(
     r"""
     SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS main_norm
     FROM documents
+    WHERE len(string_split_regex(trim(text), '\s+')) >= 16
     """,
 )
 
@@ -885,9 +892,19 @@ _register(
 )
 
 
+_FINGERPRINT_K = 8
+# k-minimum-values sketch: two docs with word-set Jaccard J share each
+# sketch slot with probability ~J, so P(identical k-min fingerprints for
+# unrelated docs) <= J^k — at k=8 over 128-bit md5 values, accidental
+# full-fingerprint collision for J<=0.5 is <= 0.4%, and distinct corpora
+# are separated by any single differing slot.  k is one constant shared
+# by both sides of the oracle.
+
+
 def q_fingerprint(spark, sf_dir):
-    """Document fingerprinting: 3-minimum sketch over word hashes
-    (order-insensitive, dedup-friendly)."""
+    """Document fingerprinting: k-minimum-values sketch (k=8) over word
+    hashes (order-insensitive, dedup-friendly; see collision bound on
+    _FINGERPRINT_K)."""
     from pyspark.sql import functions as F
 
     docs = _read(spark, sf_dir, "documents")
@@ -898,9 +915,9 @@ def q_fingerprint(spark, sf_dir):
         words.withColumn("h", F.md5("word"))
         .groupBy("doc_id")
         .agg(
-            F.concat_ws("|", F.slice(F.sort_array(F.collect_set("h")), 1, 3)).alias(
-                "fingerprint"
-            ),
+            F.concat_ws(
+                "|", F.slice(F.sort_array(F.collect_set("h")), 1, _FINGERPRINT_K)
+            ).alias("fingerprint"),
             F.count("*").cast("long").alias("vocab"),
         )
     )
@@ -909,7 +926,7 @@ def q_fingerprint(spark, sf_dir):
 _register(
     "doc_fingerprint",
     q_fingerprint,
-    """
+    f"""
     WITH words AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
         FROM documents
@@ -917,7 +934,7 @@ _register(
         SELECT doc_id, md5(word) AS h FROM words
     )
     SELECT doc_id,
-           array_to_string(list_sort(list(h))[1:3], '|') AS fingerprint,
+           array_to_string(list_sort(list(h))[1:{_FINGERPRINT_K}], '|') AS fingerprint,
            count(*) AS vocab
     FROM hashed GROUP BY doc_id
     """,
@@ -1373,6 +1390,284 @@ _register(
     """
     SELECT doc_id, to_base64(encode(substring(text, 1, 48))) AS b64_head
     FROM documents
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup candidates — full value oracle: the signature
+# construction (md5 word hashes -> weighted-bit majority -> 4 x 16-bit
+# LSH bands) is replicated in DuckDB SQL bit-for-bit, so the banded
+# candidate pairs + hamming distances hash-match end to end.
+# ---------------------------------------------------------------------------
+
+def q_simhash_candidates(spark, sf_dir):
+    """SimHash near-dup candidates over documents (operators/dedup.py):
+    vectorized Arrow-batched signature UDF, then banded self-equi-join —
+    the same one-shuffle LSH shape as MinHash banding."""
+    from .operators.dedup import simhash_candidates, simhash_column
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_candidates(simhash_column(docs))
+
+
+_register(
+    "simhash_candidates",
+    q_simhash_candidates,
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id, word
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+    ), hashed AS (
+        -- first 8 bytes of md5(word), big-endian, as uint64 — identical
+        -- to Python int.from_bytes(md5(word).digest()[:8], 'big')
+        SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+        FROM words
+    ), bit_acc AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM hashed, range(64) t(b)
+        GROUP BY doc_id, b
+    ), sigs AS (
+        SELECT doc_id,
+               sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)
+                        ELSE 0::UBIGINT END)::UBIGINT AS sig
+        FROM bit_acc GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, sig, i, (sig >> (16 * i)) & 65535 AS band
+        FROM sigs, range(4) t(i)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN top-k — full value oracle: the hyperplanes are hash-derived
+# (md5 -> uniform[-1,1)), not RNG-stream-derived, precisely so the whole
+# approximate path (bucketing, multiprobe, candidate scoring) is
+# reproducible in DuckDB SQL and value-checked, not just rows-counted.
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = 8
+_LSH_SEED = 42
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Approximate cosine top-10 via sign-LSH bucket probing
+    (operators/similarity.py): only buckets within one bit flip of the
+    query's bucket are scored — at 100 TB the candidate scan reads
+    ~(n_probes/2^n_planes) of the corpus via one equi-join."""
+    from .operators.similarity import lsh_bucketed_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.where("vec_id = 0").first()["embedding"]
+    return lsh_bucketed_topk(
+        emb.where("vec_id <> 0"), list(query), k=10,
+        n_planes=_LSH_PLANES, seed=_LSH_SEED, multiprobe=1,
+    )
+
+
+_register(
+    "lsh_ann_topk",
+    q_lsh_ann,
+    f"""
+    WITH dims AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+               unnest(range(len(embedding))) AS d
+        FROM embeddings
+    ), planes AS (
+        -- hash-derived hyperplane weights, identical to
+        -- operators/similarity.py hash_planes(dim, {_LSH_PLANES}, {_LSH_SEED})
+        SELECT p, d,
+               (('0x' || substr(md5(concat('{_LSH_SEED}#', p, '#', d)), 1, 16))::UBIGINT
+                / 18446744073709551616.0) * 2.0 - 1.0 AS w
+        FROM range({_LSH_PLANES}) tp(p), range(64) td(d)
+    ), dots AS (
+        SELECT dims.vec_id, planes.p, sum(dims.val * planes.w) AS dot
+        FROM dims JOIN planes ON planes.d = dims.d
+        GROUP BY dims.vec_id, planes.p
+    ), buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        FROM dots GROUP BY vec_id
+    ), qkey AS (
+        SELECT bucket AS qb FROM buckets WHERE vec_id = 0
+    ), probes AS (
+        SELECT qb AS key FROM qkey
+        UNION
+        SELECT xor(qb, CAST(1 << bit AS INT)) FROM qkey, range({_LSH_PLANES}) t(bit)
+    ), cands AS (
+        SELECT b.vec_id FROM buckets b JOIN probes pr ON b.bucket = pr.key
+        WHERE b.vec_id <> 0
+    ), q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe), 6) AS cosine
+    FROM embeddings e JOIN cands c ON c.vec_id = e.vec_id CROSS JOIN q
+    ORDER BY cosine DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN top-k — asserted-in-query oracle: the k-means quantizer is an
+# iterative algorithm DuckDB can't replicate, so the query itself joins
+# the IVF result against the exact top-k (whose own oracle is
+# ann_cosine_topk) and emits the recall verdict as checkable values.
+# ---------------------------------------------------------------------------
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF top-10 recall verdict vs the exact scan: probes 4 of 8
+    inverted lists (~half the corpus at this SF; nprobe/n_lists of it at
+    scale, partition-pruned when stored bucketed by ivf_list) and must
+    recover >= 5 of the exact top-10.  Both sides computed in-plan; the
+    driver value-checks the verdict row."""
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import cosine_topk, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = list(emb.where("vec_id = 0").first()["embedding"])
+    rest = emb.where("vec_id <> 0")
+    exact = cosine_topk(rest, query, k=10).select(
+        "vec_id", F.lit(1).alias("is_exact")
+    )
+    approx = ivf_topk(rest, query, k=10, n_lists=8, nprobe=4, seed=7)
+    return (
+        approx.join(F.broadcast(exact), "vec_id", "left")
+        .agg(
+            F.lit("ivf").alias("method"),
+            F.count("*").cast("long").alias("n_results"),
+            (F.sum(F.coalesce(F.col("is_exact"), F.lit(0))) >= 5).alias("recall_ok"),
+        )
+    )
+
+
+_register(
+    "ivf_ann_topk",
+    q_ivf_ann,
+    """
+    SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature stub — value oracle over byte histograms: the
+# stubbed decode is a bucket-16 byte histogram, which DuckDB reproduces
+# from the text bytes; counts (not float fractions) are compared so the
+# check is exact with no rounding-tie exposure.
+# ---------------------------------------------------------------------------
+
+def q_media_features(spark, sf_dir):
+    """Binary media plumbing (operators/multimodal.py): utf-8 payload ->
+    16-d stub feature via mapInPandas, exploded to (bucket, byte_count)
+    rows so every value is driver-canonicalizable and exactly checkable."""
+    from pyspark.sql import functions as F
+
+    from .operators.multimodal import extract_media_features
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    )
+    feats = extract_media_features(docs, "doc_id", "blob", kind="image")
+    exploded = feats.select(
+        "item_id",
+        "n_bytes",
+        "kind",
+        "ok",
+        F.posexplode("feature").alias("bucket", "frac"),
+    )
+    # feature[b] = count_b / n_bytes (float64); count_b < 2^52 so the
+    # round-trip back to the integer count is exact
+    return exploded.select(
+        "item_id",
+        "n_bytes",
+        "kind",
+        "ok",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round(F.col("frac") * F.col("n_bytes"))
+        .cast("long")
+        .alias("byte_count"),
+    )
+
+
+_register(
+    "media_feature_stub",
+    q_media_features,
+    """
+    WITH bytes AS (
+        SELECT doc_id, length(text) AS n,
+               ord(substring(text, pos, 1)) % 16 AS bucket
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS pos
+              FROM documents)
+    ), hist AS (
+        SELECT doc_id, bucket, count(*) AS c
+        FROM bytes GROUP BY doc_id, bucket
+    ), grid AS (
+        SELECT d.doc_id, length(d.text) AS n, t.bucket
+        FROM documents d, range(16) t(bucket)
+    )
+    SELECT g.doc_id AS item_id,
+           CAST(g.n AS BIGINT) AS n_bytes,
+           'image' AS kind,
+           TRUE AS ok,
+           g.bucket AS bucket,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS byte_count
+    FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bucket = g.bucket
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagship extraction pipeline — driver-visible correctness values: the
+# per-turn html_match discipline (reference
+# scripts/benchmark_docling_python.py:149-160, canonical-JSON equality
+# per image) aggregated to exact expected counts.  Turn count is pinned
+# (independent of sf_dir) so the oracle expectation is a constant.
+# ---------------------------------------------------------------------------
+
+_SUMMARY_TURNS = 5_000
+
+
+def q_extraction_summary(spark, sf_dir):
+    """Generate transcripts -> extract every turn -> verify per-turn HTML
+    tokens against the reference fixture pool -> exact verdict counts.
+    All turns must extract ok AND hash-match their fixture; the driver
+    value-checks the counts (5000/5000/5000/0)."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_transcripts, verify_against_pool
+    from .sources.transcripts import generate_transcripts, payload_pool_df
+
+    transcripts = generate_transcripts(spark, n_turns=_SUMMARY_TURNS, seed=42)
+    verified = verify_against_pool(
+        extract_transcripts(transcripts), payload_pool_df(spark)
+    )
+    return verified.agg(
+        F.count("*").cast("long").alias("turns"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("ok_turns"),
+        F.sum(F.when(F.col("html_match"), 1).otherwise(0))
+        .cast("long")
+        .alias("matched_turns"),
+        F.sum(F.when(F.col("ok"), 0).otherwise(1)).cast("long").alias("err_turns"),
+    )
+
+
+_register(
+    "extraction_pipeline",
+    q_extraction_summary,
+    f"""
+    SELECT CAST({_SUMMARY_TURNS} AS BIGINT) AS turns,
+           CAST({_SUMMARY_TURNS} AS BIGINT) AS ok_turns,
+           CAST({_SUMMARY_TURNS} AS BIGINT) AS matched_turns,
+           CAST(0 AS BIGINT) AS err_turns
     """,
 )
 

@@ -49,8 +49,28 @@ def main(sf_dir="/root/testdata/sf0.01", *names):
             verdicts.append(f"rows {len(spark_df)} vs {len(duck_df)}")
         if not verdicts:
             cols = sorted(spark_df.columns)
-            a = spark_df[cols].sort_values(cols).reset_index(drop=True)
-            b = duck_df[cols].sort_values(cols).reset_index(drop=True)
+
+            def _canon(df):
+                # list/array columns are unhashable for sort_values —
+                # JSON-encode any object column holding non-scalars so
+                # entry-point queries with array outputs report cleanly
+                import json
+
+                df = df[cols].copy()
+                for col in cols:
+                    if df[col].dtype == object and df[col].map(
+                        lambda v: isinstance(v, (list, tuple, dict))
+                        or type(v).__name__ == "ndarray"
+                    ).any():
+                        df[col] = df[col].map(
+                            lambda v: json.dumps(
+                                list(v) if type(v).__name__ == "ndarray" else v
+                            )
+                        )
+                return df.sort_values(cols).reset_index(drop=True)
+
+            a = _canon(spark_df)
+            b = _canon(duck_df)
             for col in cols:
                 av, bv = a[col].to_numpy(), b[col].to_numpy()
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":

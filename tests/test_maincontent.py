@@ -34,7 +34,8 @@ def test_strip_recovers_article_and_drops_chrome():
     """Recovery invariant: strip(synthesize(text)) == the article text
     (modulo paragraph wrapping); every chrome element is gone."""
     text = _words(100)
-    main, n_blocks, n_content = strip_boilerplate(synthesize_page(7, text))
+    main, n_blocks, n_content, perr = strip_boilerplate(synthesize_page(7, text))
+    assert perr is False
     assert " ".join(main.split()) == text
     for chrome in ("Subscribe", "related item", "All rights reserved",
                    "section 0", "Terms", "Site "):
@@ -64,11 +65,11 @@ def test_short_and_container_blocks_are_boilerplate():
 
 
 def test_malformed_html_degrades_gracefully():
-    main, nb, nc = strip_boilerplate("<p>" + _words(30) + "<div <<< &#bad;")
+    main, nb, nc, _perr = strip_boilerplate("<p>" + _words(30) + "<div <<< &#bad;")
     assert nb >= 1 and nc >= 1
     assert "alpha" in main or "bravo" in main
-    assert strip_boilerplate("")[1:] == (0, 0)
-    assert strip_boilerplate(None)[1:] == (0, 0)
+    assert strip_boilerplate("")[1:] == (0, 0, False)
+    assert strip_boilerplate(None)[1:] == (0, 0, False)
 
 
 def _token(i, text, x, y, w=10.0, h=8.0):
@@ -136,7 +137,8 @@ def test_tokenizer_never_crashes_on_soup():
              _words(8), _words(20), "\x00", "<td", "</html>"]
     for _ in range(500):
         soup = "".join(rng.choice(frags) for _ in range(rng.randint(0, 30)))
-        main, nb, nc = strip_boilerplate(soup)
+        main, nb, nc, perr = strip_boilerplate(soup)
+        assert isinstance(perr, bool)
         assert nc <= nb
         assert isinstance(main, str)
 
@@ -190,7 +192,7 @@ def test_strip_never_hallucinates_words():
     for _ in range(200):
         text = _words(rng.randint(0, 80), seed=rng.randint(0, 999))
         html = synthesize_page(rng.randint(0, 500), text)
-        main, _, _ = strip_boilerplate(html)
+        main, _, _, _ = strip_boilerplate(html)
         html_words = set(html.replace("<", " <").replace(">", "> ").split())
         for w in main.split():
             assert w in html_words

@@ -31,8 +31,12 @@ def test_contract_shape():
     oracles = entry_mod.oracle_sql()
     assert len(queries) >= 30
     assert set(oracles) <= set(queries)
-    # non-SQL-expressible ops are present but not oracle'd
-    assert "extraction_pipeline" in queries and "extraction_pipeline" not in oracles
+    # round 2: every driver-facing query is oracle-checked, including
+    # the flagship summary and the formerly rows-only approximate paths
+    assert set(oracles) == set(queries)
+    for name in ("extraction_pipeline", "simhash_candidates", "lsh_ann_topk",
+                 "ivf_ann_topk", "media_feature_stub"):
+        assert name in oracles
 
 
 @pytest.mark.parametrize("name", SPOT)
