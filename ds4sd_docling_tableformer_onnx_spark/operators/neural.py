@@ -24,17 +24,29 @@ TENSOR_META_SCHEMA = (
 
 
 class _Artifacts:
-    """Per-executor lazy singleton (the broadcast-weights pattern)."""
+    """Per-executor lazy singleton (the broadcast-weights pattern).
+
+    ``predictor`` is the neural stage behind the surrogate boundary:
+    None (default — fixture streams replay through core/decoder.py) or,
+    when the ``SPARK_GRAFT_ONNX_DIR`` gate is set, the live onnxruntime
+    greedy decoder (operators/realmodel.py; reference lifecycle
+    tf_predictor.py:705-843).  Loaded once per python worker."""
 
     _instance = None
 
     def __init__(self):
-        # stands in for: load ONNX session / safetensors from SparkFiles
+        import os
+
         from ..config import WORD_MAP_TAG
 
         self.mean = [0.94247851, 0.94254675, 0.94292611]
         self.std = [0.17910956, 0.17940403, 0.17931663]
         self.word_map = WORD_MAP_TAG
+        self.predictor = None
+        if os.environ.get("SPARK_GRAFT_ONNX_DIR"):
+            from .realmodel import load_onnx_decoder
+
+            self.predictor = load_onnx_decoder()
 
     @classmethod
     def get(cls):

@@ -1,0 +1,150 @@
+"""Config-gated real neural decode: the greedy loop behind the
+surrogate boundary (operators/realmodel.py).
+
+The loop is pure given its three session callables, so it is driven
+here with scripted fakes — reproducing the reference fixture tag stream
+through the LIVE-decode code path — and the onnxruntime binding is
+covered by gate tests plus a skip-marked true-runtime test.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ds4sd_docling_tableformer_onnx_spark.config import WORD_MAP_TAG
+from ds4sd_docling_tableformer_onnx_spark.core.decoder import (
+    decode_tag_stream,
+    surrogate_predict,
+)
+from ds4sd_docling_tableformer_onnx_spark.operators.realmodel import (
+    greedy_decode,
+    load_onnx_decoder,
+)
+
+VOCAB = max(WORD_MAP_TAG.values()) + 1
+
+
+def _scripted_sessions(raw_stream, box_of_step=None):
+    """Fake encoder/step/bbox callables that emit ``raw_stream`` as the
+    per-step argmax and encode the step index in the hidden state."""
+    contexts = []
+
+    def encoder_fn(tensor):
+        return np.asarray([[42.0]])
+
+    def step_fn(enc_out, tags):
+        contexts.append([int(t) for t in tags[0]])
+        step = tags.shape[1] - 1  # steps taken so far (context incl <start>)
+        logits = np.zeros(VOCAB)
+        tag = raw_stream[step] if step < len(raw_stream) else WORD_MAP_TAG["<end>"]
+        logits[tag] = 1.0
+        return logits, np.asarray([float(step)])
+
+    def bbox_fn(enc_out, hiddens):
+        steps = [int(h[0]) for h in hiddens]
+        boxes = np.asarray(
+            [box_of_step(s) if box_of_step else [0.1 * s, 0.2, 0.05, 0.05] for s in steps]
+        )
+        class_logits = np.zeros((len(steps), 3))
+        class_logits[:, 2] = 1.0
+        return boxes, class_logits
+
+    return encoder_fn, step_fn, bbox_fn, contexts
+
+
+def test_greedy_loop_reproduces_fixture_tag_stream():
+    """The live-decode loop, scripted with the fixture's raw stream,
+    must emit exactly the fixture tag sequence (pool predictions carry
+    the reference repo's golden decode)."""
+    pool = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(__file__),
+                "..",
+                "ds4sd_docling_tableformer_onnx_spark",
+                "data",
+                "fixture_pool.json",
+            )
+        )
+    )
+    for entry in pool["predictions"]:
+        fixture_seq = entry["payload"]["tag_seq"]
+        raw = fixture_seq[1:]  # loop consumes the stream sans <start>
+        enc, step, bbox, _ = _scripted_sessions(raw)
+        out = greedy_decode(enc, step, bbox, tensor=None)
+        assert out["tag_seq"] == fixture_seq
+
+
+def test_greedy_loop_matches_surrogate_incl_grammar_and_spans():
+    """Same raw stream through the live loop and the surrogate must
+    agree on tags, merged bboxes and classes — including the xcel->lcel
+    and ucel-then-lcel corrections and the span merge."""
+    T = WORD_MAP_TAG
+    raw = [
+        T["fcel"], T["lcel"], T["lcel"], T["nl"],
+        T["ucel"], T["xcel"], T["fcel"], T["nl"],
+        T["<end>"],
+    ]
+    _, emit_steps, _ = decode_tag_stream(raw)
+    box_of_step = lambda s: [0.01 * s + 0.1, 0.3, 0.04, 0.04]
+    enc, step, bbox, contexts = _scripted_sessions(raw, box_of_step)
+    live = greedy_decode(enc, step, bbox, tensor=None)
+    surrogate = surrogate_predict(
+        raw,
+        [box_of_step(s) for s in emit_steps],
+        [2] * len(emit_steps),
+    )
+    assert live["tag_seq"] == surrogate["tag_seq"]
+    assert live["classes"] == surrogate["classes"]
+    assert np.allclose(live["bboxes"], surrogate["bboxes"])
+    # the context fed back to the decoder holds CORRECTED tags: the xcel
+    # became lcel and, following a ucel, fcel (reference feeds
+    # decoded_tags, not the raw argmax — tablemodel04_rs.py:222-273)
+    final_context = contexts[-1]
+    assert T["xcel"] not in final_context
+    assert final_context[1:] == live["tag_seq"][1 : len(final_context)]
+
+
+def test_greedy_loop_max_steps_guard():
+    T = WORD_MAP_TAG
+    enc, step, bbox, _ = _scripted_sessions([T["fcel"]] * 5000)
+    out = greedy_decode(enc, step, bbox, tensor=None, max_steps=16)
+    assert len(out["tag_seq"]) == 17  # <start> + 16 steps, no <end>
+
+
+def test_onnx_gate_raises_cleanly(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ONNX_DIR", raising=False)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_ONNX_DIR"):
+        load_onnx_decoder()
+    # gate set but runtime/graphs absent: still a clear refusal, and the
+    # executor-side singleton surfaces it instead of silently decoding
+    monkeypatch.setenv("SPARK_GRAFT_ONNX_DIR", str(tmp_path))
+    with pytest.raises(NotImplementedError):
+        load_onnx_decoder(str(tmp_path))
+    from ds4sd_docling_tableformer_onnx_spark.operators.neural import _Artifacts
+
+    _Artifacts._instance = None
+    try:
+        with pytest.raises(NotImplementedError):
+            _Artifacts.get()
+    finally:
+        _Artifacts._instance = None
+
+
+def test_onnx_runtime_end_to_end():
+    """True-runtime path: needs onnxruntime AND exported graphs (neither
+    ships in this container — the loop logic itself is covered by the
+    scripted tests above)."""
+    ort = pytest.importorskip("onnxruntime")
+    if not callable(getattr(ort, "InferenceSession", None)):
+        pytest.skip("onnxruntime import is stubbed")
+    model_dir = os.environ.get("SPARK_GRAFT_ONNX_DIR")
+    if not model_dir:
+        pytest.skip("SPARK_GRAFT_ONNX_DIR not set (no exported graphs)")
+    predict = load_onnx_decoder(model_dir)
+    tensor = np.zeros((1, 3, 448, 448), dtype=np.float32)
+    out = predict(tensor)
+    assert out["tag_seq"][0] == WORD_MAP_TAG["<start>"]
+    assert set(out) == {"tag_seq", "bboxes", "classes"}

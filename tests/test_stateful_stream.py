@@ -1,6 +1,9 @@
 """Stateful streaming rollup: state persists across micro-batches."""
 
+import pytest
 from pyspark.sql import functions as F
+
+from ds4sd_docling_tableformer_onnx_spark.operators.extract import extract_transcripts
 
 from ds4sd_docling_tableformer_onnx_spark.sources.transcripts import generate_transcripts
 from ds4sd_docling_tableformer_onnx_spark.streaming.stateful import (
@@ -60,6 +63,82 @@ def test_state_accumulates_across_batches(spark, tmp_path):
     }
     assert per_conv == expected
     df.unpersist()
+
+
+def test_crash_midbatch_replay_is_exactly_once(spark, tmp_path):
+    """North-rule idempotence, streaming side: a job that dies AFTER a
+    micro-batch's side effects land but BEFORE its offsets commit must,
+    on restart from the same checkpoint, replay that batch without
+    duplicating output.  The sink is the checkpoint-table discipline the
+    batch side proves (plans/checkpoint.py): append guarded by an
+    anti-join on (conv_id, turn_idx, payload_sha256)."""
+    from pyspark.errors import StreamingQueryException
+
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        CHECKPOINT_KEYS,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.streaming.stream import stream_extract
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    df = generate_transcripts(spark, n_turns=120, n_convs=6, seed=11)
+    # 24 input files / maxFilesPerTrigger=8 -> >= 3 micro-batches, so
+    # batch_id 1 exists to crash in and later batches remain unprocessed
+    df.repartition(24).write.parquet(str(in_dir / "batch"))
+
+    crash = {"armed": True, "batches_before_crash": [], "batches_after": []}
+
+    def idempotent_sink(batch_df, batch_id):
+        s = batch_df.sparkSession
+        try:
+            done = s.read.parquet(out_dir).select(*CHECKPOINT_KEYS).dropDuplicates()
+            fresh = batch_df.join(done, list(CHECKPOINT_KEYS), "left_anti")
+        except Exception:
+            fresh = batch_df
+        fresh.write.mode("append").parquet(out_dir)
+        if crash["armed"]:
+            crash["batches_before_crash"].append(batch_id)
+            if batch_id >= 1:
+                # side effects are on disk; offsets for this batch never
+                # commit -> the restart MUST replay it
+                raise RuntimeError("injected crash after side effects")
+        else:
+            crash["batches_after"].append(batch_id)
+
+    def start():
+        return (
+            stream_extract(spark, str(in_dir) + "/*")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(idempotent_sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    query = start()
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        query.awaitTermination()
+
+    written_at_crash = spark.read.parquet(out_dir).count()
+    assert 0 < written_at_crash < 120  # died mid-stream, partial output on disk
+
+    crash["armed"] = False
+    start().awaitTermination()  # resume from the same checkpoint
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 120
+    assert out.select("conv_id", "turn_idx").distinct().count() == 120  # no dupes
+    # the crashed batch really was replayed (exactly-once came from the
+    # idempotent sink, not from the batch never re-running)
+    assert min(crash["batches_after"]) <= max(crash["batches_before_crash"])
+    # and the replayed content matches the batch path bit-for-bit
+    batch_out = extract_transcripts(spark.read.parquet(str(in_dir) + "/*"))
+    s = {(r["conv_id"], r["turn_idx"]): r["html_sha256"] for r in out.collect()}
+    b = {(r["conv_id"], r["turn_idx"]): r["html_sha256"] for r in batch_out.collect()}
+    assert s == b
 
 
 def test_watermarked_rollup_merges_ontime_drops_late(spark, tmp_path):
