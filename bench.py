@@ -49,7 +49,7 @@ ONE_FILE_PER_TASK = {
 # scaling-evidence comment in main())
 SCALING_VISITS = 5
 
-# headline query subset (one per operator family; the full 34-oracle set
+# headline query subset (one per operator family; the full 39-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
     "dense_rank_reindex",
@@ -66,6 +66,7 @@ HEADLINE = [
     "lang_id",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "simhash_candidates",
     "word_jaccard_pairs",
     "ann_cosine_topk",
     "embedding_neardup",

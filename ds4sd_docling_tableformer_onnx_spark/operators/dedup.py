@@ -81,44 +81,55 @@ def simhash_column(df, text_col: str = "text", bits: int = 64):
 def simhash_candidates(df, id_col: str = "doc_id"):
     """Candidate near-dup pairs: equi-join on any shared 16-bit band of
     the simhash (finds all pairs within hamming distance 3 of a 64-bit
-    signature, by pigeonhole)."""
+    signature, by pigeonhole).
+
+    Band-exclusion plan (same trick as the MinHash query, commit
+    8a651a0): each pair is emitted from the FIRST band it shares —
+    band i's join requires bands 0..i-1 to differ — so the union is
+    exactly the distinct candidate set with NO dedup shuffle over the
+    (quadratic) pair output.  Each of the 4 joins shuffles only the
+    one-row-per-doc signature table, which AQE broadcast-converts when
+    small.
+
+    The signature table is persisted before the self-joins: without it
+    the 4 joins re-run the signature UDF on both sides (8 corpus
+    passes; measured 4x slower at sf0.1).  At 10^12-doc scale the same
+    move is writing signatures to a (bucketed) table once — ~20 B/doc —
+    and band-joining the materialized table; persist() is the in-plan
+    analog at bench scale."""
     from pyspark.sql import functions as F
 
-    bands = df.select(
+    banded = df.select(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(i)),
-                        # bitwiseAND, not %: signed remainder would send
-                        # negative signatures' band 0 to a negative key,
-                        # splitting buckets across the sign boundary and
-                        # breaking the hamming<=3 pigeonhole guarantee
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(65535))
-                        .cast("string"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("band"),
+        *[
+            # bitwiseAND, not %: signed remainder would send negative
+            # signatures' band 0 to a negative key, splitting buckets
+            # across the sign boundary and breaking the hamming<=3
+            # pigeonhole guarantee
+            F.shiftrightunsigned("simhash", 16 * i)
+            .bitwiseAND(F.lit(65535))
+            .alias(f"b{i}")
+            for i in range(4)
+        ],
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("long")
-            .alias("hamming"),
-        )
-        .distinct()
+    banded = banded.persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    lt = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    out = (
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        .cast("long")
+        .alias("hamming"),
     )
+    parts = []
+    for i in range(4):
+        cond = (F.col(f"a.b{i}") == F.col(f"b.b{i}")) & lt
+        for j in range(i):
+            cond = cond & (F.col(f"a.b{j}") != F.col(f"b.b{j}"))
+        parts.append(a.join(b, cond).select(*out))
+    result = parts[0]
+    for part in parts[1:]:
+        result = result.unionAll(part)
+    return result
