@@ -1,0 +1,141 @@
+"""Layout-detector inference (N6): DETR post-process, config gate, and
+the Spark detection operator with an injected deterministic model."""
+
+import numpy as np
+import pytest
+
+from ds4sd_docling_tableformer_onnx_spark.operators.detector import (
+    SCORE_MIN,
+    detect_layout,
+    detr_postprocess,
+    load_onnx_layout_detector,
+)
+
+
+def test_detr_postprocess_threshold_order_and_scaling():
+    # 4 queries, 3 classes + no-object slot; logits chosen so softmax
+    # scores are easy to reason about
+    logits = np.array(
+        [
+            [4.0, 0.0, 0.0, 0.0],   # class 0, high score
+            [0.0, 2.0, 0.0, 0.0],   # class 1, mid score
+            [0.0, 0.0, 0.0, 4.0],   # no-object dominant -> low class score
+            [0.0, 0.0, 3.0, 0.0],   # class 2, high-ish
+        ]
+    )
+    boxes = np.array(
+        [
+            [0.5, 0.5, 0.2, 0.2],
+            [0.25, 0.25, 0.1, 0.1],
+            [0.9, 0.9, 0.1, 0.1],
+            [0.75, 0.5, 0.5, 1.0],
+        ]
+    )
+    labels, scores, xyxy = detr_postprocess(logits, boxes, width=100, height=200)
+    # the no-object query's best class prob is ~0.017 < 0.25: dropped
+    assert list(labels) == [0, 2, 1]  # score-descending
+    assert all(scores[i] >= scores[i + 1] for i in range(len(scores) - 1))
+    assert scores.min() > SCORE_MIN
+    # softmax check for the top one: e^4 / (e^4 + 3)
+    assert scores[0] == pytest.approx(np.exp(4) / (np.exp(4) + 3))
+    # cxcywh (normalized) -> xyxy in page pixels
+    assert list(xyxy[0]) == pytest.approx([40.0, 80.0, 60.0, 120.0])
+    # rank 1 is the class-2 query (score e^3/(e^3+3)); its full-height
+    # box denormalizes to the whole page vertically
+    assert list(xyxy[1]) == pytest.approx([50.0, 0.0, 100.0, 200.0])
+    # rank 2 is the class-1 query's box
+    assert list(xyxy[2]) == pytest.approx([20.0, 40.0, 30.0, 60.0])
+
+
+def test_detr_postprocess_all_below_threshold():
+    logits = np.zeros((5, 4))  # uniform probs -> class score 0.25, not > 0.25
+    boxes = np.tile([0.5, 0.5, 0.1, 0.1], (5, 1))
+    labels, scores, xyxy = detr_postprocess(logits, boxes, 10, 10)
+    assert len(labels) == len(scores) == len(xyxy) == 0
+
+
+def test_layout_gate_raises_cleanly(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_LAYOUT_ONNX", raising=False)
+    with pytest.raises(NotImplementedError, match="SPARK_GRAFT_LAYOUT_ONNX"):
+        load_onnx_layout_detector()
+    with pytest.raises(NotImplementedError):
+        load_onnx_layout_detector(str(tmp_path / "missing.onnx"))
+
+
+def _fake_predict(pixels, width, height):
+    """Deterministic stand-in model: emits one box per image whose
+    score encodes the mean pixel, plus a fixed low-score box that must
+    survive or drop based on the threshold."""
+    mean = float(pixels.mean())
+    logits = np.array(
+        [
+            [3.0 + mean, 0.0, 0.0, 0.0],
+            [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 5.0],  # no-object: always dropped
+        ]
+    )
+    boxes = np.array(
+        [
+            [0.5, 0.5, 0.5, 0.5],
+            [0.25, 0.25, 0.2, 0.2],
+            [0.1, 0.1, 0.1, 0.1],
+        ]
+    )
+    return detr_postprocess(logits, boxes, width, height)
+
+
+def test_detect_layout_operator(spark):
+    rows = []
+    for i in range(6):
+        h, w = 8, 10
+        img = np.full((h, w, 3), 30 * i, dtype=np.uint8)
+        rows.append((i, bytearray(img.tobytes()), h, w))
+    df = spark.createDataFrame(
+        rows, "image_id long, image binary, height int, width int"
+    )
+    out = detect_layout(df, predict_fn=_fake_predict).collect()
+    per_image = {}
+    for r in out:
+        per_image.setdefault(r["image_id"], []).append(r)
+    assert set(per_image) == set(range(6))
+    for image_id, dets in per_image.items():
+        # ids sequential from 0 in score-descending order (W5)
+        dets = sorted(dets, key=lambda r: r["det_id"])
+        assert [d["det_id"] for d in dets] == list(range(len(dets)))
+        assert all(
+            dets[i]["score"] >= dets[i + 1]["score"] for i in range(len(dets) - 1)
+        )
+        assert all(d["score"] > SCORE_MIN for d in dets)
+        # box scaled to this image's pixel size
+        top = dets[0]
+        assert (top["x0"], top["x1"]) == (2.5, 7.5)
+        assert (top["y0"], top["y1"]) == (2.0, 6.0)
+    # deterministic across runs
+    again = detect_layout(df, predict_fn=_fake_predict).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_detections_feed_quality_gates(spark):
+    """N6 output plugs into the A12 quality gates: identical baseline
+    and variant detections must pass acceptance with mean IoU 1.0."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.quality import (
+        acceptance,
+        greedy_label_match,
+        image_quality,
+    )
+
+    rows = [(0, bytearray(np.zeros((4, 4, 3), np.uint8).tobytes()), 4, 4)]
+    df = spark.createDataFrame(
+        rows, "image_id long, image binary, height int, width int"
+    )
+    dets = [
+        {"label": r["label"], "bbox": [r["x0"], r["y0"], r["x1"], r["y1"]]}
+        for r in detect_layout(df, predict_fn=_fake_predict).collect()
+    ]
+    assert dets
+    ious = greedy_label_match(dets, dets)
+    assert ious and all(i == pytest.approx(1.0) for i in ious)
+    matched_ious, delta_pct = image_quality(dets, dets)
+    mean_iou = sum(matched_ious) / len(matched_ious)
+    iou50 = sum(1 for i in matched_ious if i >= 0.5) / len(matched_ious)
+    assert acceptance(mean_iou, iou50, delta_pct)

@@ -66,6 +66,50 @@ def test_simhash_signature_regression(spark):
         assert got[doc_id] == scalar_ref(text or "")
 
 
+def test_simhash_banding_pigeonhole_property(spark):
+    """Property: ANY pair within hamming distance 3 must surface as a
+    candidate (3 flips cannot touch all 4 bands).  Signatures are drawn
+    over the full signed-64-bit range — this is the guard for the band-0
+    sign bug the oracle caught (negative signatures split buckets under
+    a signed %)."""
+    import random
+
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        simhash_candidates,
+    )
+
+    rng = random.Random(123)
+
+    def as_signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows = []
+    planted = []
+    doc_id = 0
+    for _ in range(60):
+        base = rng.getrandbits(64) | (1 << 63) * rng.randint(0, 1)
+        flipped = base
+        for bit in rng.sample(range(64), rng.randint(0, 3)):
+            flipped ^= 1 << bit
+        rows.append((doc_id, as_signed(base)))
+        rows.append((doc_id + 1, as_signed(flipped)))
+        planted.append((doc_id, doc_id + 1, bin(base ^ flipped).count("1")))
+        doc_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidates(df).collect()
+    }
+    for id_a, id_b, hamming in planted:
+        if hamming == 0 or hamming <= 3:
+            assert got[(id_a, id_b)] == hamming
+    # no pair appears twice (band-exclusion union is already distinct)
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in simhash_candidates(df).collect()
+    ]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_media_real_decode_gate():
     """decode_stub=False must route to the real-codec loader, whose gate
     is functional (a smoke decode of a known 1x1 PNG): a missing — or,
