@@ -102,3 +102,40 @@ def test_scalar_queries_stay_in_wholestage_codegen(spark):
         for c in re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1).split(",")
     }
     assert cols == {"doc_id", "text"}  # lang/source/n_chars pruned
+
+
+def test_simhash_pair_output_never_shuffles(spark):
+    """Band-exclusion candidates: the four self-joins read ONE persisted
+    signature pass (InMemoryTableScan) and the (quadratic) pair output
+    flows to the sink with no distinct/exchange over it."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["simhash_candidates"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "InMemoryTableScan" in plan  # signatures materialized once
+    # no aggregation/dedup over the pair columns anywhere
+    assert "HashAggregate" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            # exchanges may only move the small signature table (band
+            # keys / doc ids), never the id_a/id_b pair output
+            assert "id_a" not in line and "id_b" not in line
+
+
+def test_lsh_topk_avoids_global_sort_shuffle(spark):
+    """LSH top-k ends in TakeOrderedAndProject (per-partition top-k +
+    driver merge), not a global sort exchange."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["lsh_ann_topk"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0
+
+
+def test_media_features_stay_narrow(spark):
+    """Binary feature extraction + posexplode: a single map lineage, no
+    shuffle between the scan and the exploded byte-count rows."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["media_feature_stub"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 0
