@@ -209,12 +209,42 @@ def ivf_topk(
             emb_df, n_lists=n_lists, seed=seed, vec_col=vec_col
         )
     cmat = np.asarray(centroids, dtype=np.float64)
+    probe = probe_lists(cmat, query_vec, nprobe)
+
+    assigned = ivf_assign(emb_df, cmat, vec_col=vec_col)
+    candidates = assigned.where(F.col("ivf_list").isin(probe))
+    return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def probe_lists(centroids, query_vec, nprobe: int):
+    """The ``nprobe`` inverted-list ids nearest the query (cosine)."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)
     cnorm = cmat / _safe_norm(cmat)
     q = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(q)
     q = q / (qn if qn > 0 else 1.0)
-    probe = np.argsort(-(cnorm @ q))[:nprobe].tolist()
+    return np.argsort(-(cnorm @ q))[:nprobe].tolist()
 
-    assigned = ivf_assign(emb_df, cmat, vec_col=vec_col)
-    candidates = assigned.where(F.col("ivf_list").isin(probe))
+
+def write_ivf_store(emb_df, centroids, path: str, vec_col: str = "embedding"):
+    """Materialize the corpus partitioned by inverted list — the
+    at-scale layout where a probe becomes a partition-pruned scan: the
+    query reads ~nprobe/n_lists of the files and the rest never leave
+    storage.  (Iceberg equivalent: ``PARTITIONED BY (ivf_list)`` or a
+    bucket transform.)"""
+    ivf_assign(emb_df, centroids, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_list").parquet(path)
+
+
+def ivf_topk_from_store(spark, path: str, centroids, query_vec, k: int = 10, nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF top-k over a partitioned store: the ``ivf_list IN (...)``
+    predicate prunes to the probed partitions at the source (visible as
+    PartitionFilters in the plan — tests/test_plans.py pins it)."""
+    from pyspark.sql import functions as F
+
+    probe = probe_lists(centroids, query_vec, nprobe)
+    candidates = spark.read.parquet(path).where(F.col("ivf_list").isin(probe))
     return cosine_topk(candidates, query_vec, k=k, id_col=id_col, vec_col=vec_col)
