@@ -1572,13 +1572,21 @@ _register(
 def q_media_features(spark, sf_dir):
     """Binary media plumbing (operators/multimodal.py): utf-8 payload ->
     16-d stub feature via mapInPandas, exploded to (bucket, byte_count)
-    rows so every value is driver-canonicalizable and exactly checkable."""
+    rows so every value is driver-canonicalizable and exactly checkable.
+
+    Both sides restrict to ASCII docs (char length == byte length): the
+    DuckDB oracle reads per-CHAR codepoints (ord) while the operator
+    histograms per-BYTE, and the two only coincide on ASCII — the
+    symmetric filter makes the oracle hold for any future corpus (the
+    operator itself is byte-true for arbitrary payloads; unit-tested)."""
     from pyspark.sql import functions as F
 
     from .operators.multimodal import extract_media_features
 
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("blob")
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.length("text") == F.octet_length("text"))
+        .select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
     )
     feats = extract_media_features(docs, "doc_id", "blob", kind="image")
     exploded = feats.select(
@@ -1606,18 +1614,21 @@ _register(
     "media_feature_stub",
     q_media_features,
     """
-    WITH bytes AS (
+    WITH ascii_docs AS (
+        SELECT doc_id, text FROM documents
+        WHERE length(text) = octet_length(encode(text))
+    ), bytes AS (
         SELECT doc_id, length(text) AS n,
                ord(substring(text, pos, 1)) % 16 AS bucket
         FROM (SELECT doc_id, text,
                      unnest(range(1, length(text) + 1)) AS pos
-              FROM documents)
+              FROM ascii_docs)
     ), hist AS (
         SELECT doc_id, bucket, count(*) AS c
         FROM bytes GROUP BY doc_id, bucket
     ), grid AS (
         SELECT d.doc_id, length(d.text) AS n, t.bucket
-        FROM documents d, range(16) t(bucket)
+        FROM ascii_docs d, range(16) t(bucket)
     )
     SELECT g.doc_id AS item_id,
            CAST(g.n AS BIGINT) AS n_bytes,
