@@ -95,3 +95,40 @@ class TableFormerSparkEngine:
                 }
             )
         return out
+
+    def predict_page_from_image(
+        self,
+        page_image,
+        table_bboxes=None,
+        tokens=None,
+        predictor=None,
+        sort_row_col_indexes: bool = True,
+    ):
+        """The reference's full entry signature: page image in, cell
+        grids out (tableformer_docling/predictor.py:85-123 — table bbox
+        defaults to the whole page; matching auto-disables without
+        tokens).
+
+        The neural stage comes from ``predictor(tensor) ->
+        {tag_seq, bboxes, classes}``: the config-gated live ONNX decoder
+        (operators/realmodel.py) when not supplied, or any injected
+        callable (tests use a deterministic fixture replayer).  P1-P3
+        preprocessing is the real fixture-exact path either way.
+        """
+        height, width = page_image.shape[:2]
+        if table_bboxes is None:
+            table_bboxes = [[0.0, 0.0, float(width), float(height)]]
+        if predictor is None:
+            from .operators.realmodel import load_onnx_decoder
+
+            predictor = load_onnx_decoder()
+        prepared = self.prepare_inputs(page_image, table_bboxes)
+        predictions = [predictor(p["tensor"]) for p in prepared]
+        return self.predict_page(
+            predictions,
+            table_bboxes,
+            page_width=width,
+            page_height=height,
+            tokens=tokens,
+            sort_row_col_indexes=sort_row_col_indexes,
+        )
