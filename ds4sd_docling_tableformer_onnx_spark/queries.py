@@ -1094,6 +1094,69 @@ _register(
 )
 
 
+_NGRAM = 5
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Character n-gram (5-gram) Jaccard for candidate pairs — the
+    shingle-level near-dup signal that survives word-boundary edits.
+    Gram sets are per-row array expressions (sequence + substr, JVM-side
+    whole-stage codegen, no explode/shuffle of the gram table); the only
+    shuffle is the deterministic-blocking pair join, exactly as in
+    word_jaccard_pairs."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    n_pos = F.length("text") - (_NGRAM - 1)
+    grams = F.when(
+        n_pos >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_pos),
+                lambda i: F.substr(F.col("text"), i, F.lit(_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = docs.select("doc_id", grams.alias("grams"))
+    a, b = sets.alias("a"), sets.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 250)
+    shared = F.size(F.array_intersect("a.grams", "b.grams"))
+    union = F.size("a.grams") + F.size("b.grams") - shared
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        shared.cast("long").alias("shared_grams"),
+        F.round(shared.cast("double") / union, 6).alias("jaccard"),
+    ).where(shared > 0)
+
+
+_register(
+    "ngram_jaccard_pairs",
+    q_ngram_jaccard,
+    f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, substr(text, pos, {_NGRAM}) AS g
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {_NGRAM - 2})) AS pos
+              FROM documents)
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, count(*) AS shared_grams
+        FROM grams a JOIN grams b
+          ON b.doc_id = a.doc_id + 250 AND b.g = a.g
+        GROUP BY a.doc_id
+    )
+    SELECT s.doc_a, s.doc_a + 250 AS doc_b, s.shared_grams,
+           round(CAST(s.shared_grams AS DOUBLE)
+                 / (sa.n + sb.n - s.shared_grams), 6) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.doc_id = s.doc_a
+    JOIN sizes sb ON sb.doc_id = s.doc_a + 250
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
