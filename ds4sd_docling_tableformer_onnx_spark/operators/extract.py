@@ -195,6 +195,61 @@ def extract_transcripts(df, correct_overlapping_cells: bool = False, min_paralle
     )
 
 
+def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lean: bool = False, broadcast_threshold: int | None = 100_000):
+    """Dedup-aware extraction: run the (expensive) per-turn pipeline
+    once per DISTINCT payload, then join results back to every turn.
+
+    Agent-transcript corpora repeat payloads heavily — the same tool
+    schema, boilerplate turn, or replayed context appears across
+    conversations.  With duplication factor d this converts O(N)
+    extraction work into O(N/d) extraction + one join:
+
+    - distinct pass: dropDuplicates on the payload hash (one shuffle of
+      (hash, text, tool) — at 10^12 turns this is the classic
+      "aggregate the heavy column early" move: the shuffle carries each
+      distinct payload once);
+    - join back: broadcast when the distinct side is small (bounded by
+      ``broadcast_threshold`` rows, counted on the distinct frame —
+      one cheap action), else a shuffle join on the hash, which Iceberg
+      bucketing on payload_sha256 makes storage-partitioned.
+
+    Row-for-row equal to ``extract_transcripts`` (tests pin it); use
+    the direct form when payloads are known to be near-unique — the
+    distinct shuffle then buys nothing.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        "conv_id",
+        "turn_idx",
+        F.sha2(F.concat_ws("\x00", "text", "tool"), 256).alias("payload_sha256"),
+        "text",
+        "tool",
+    )
+    distinct = keyed.select("payload_sha256", "text", "tool").dropDuplicates(
+        ["payload_sha256"]
+    )
+    # reuse the batch worker with synthetic identity columns; results
+    # are keyed by the payload hash it already computes
+    carrier = distinct.select(
+        F.lit("payload").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+        "tool",
+    )
+    extracted = carrier.mapInArrow(
+        lambda it: _extract_batches(it, correct_overlapping_cells, lean),
+        schema=LEAN_SCHEMA if lean else OUTPUT_SCHEMA,
+    ).drop("conv_id", "turn_idx")
+
+    turns = keyed.select("conv_id", "turn_idx", "payload_sha256")
+    if broadcast_threshold is not None and distinct.limit(
+        broadcast_threshold + 1
+    ).count() <= broadcast_threshold:
+        extracted = F.broadcast(extracted)
+    return turns.join(extracted, "payload_sha256")
+
+
 def ordered_conversation_view(extracted):
     """Per-conversation ordered view (W2: stable turn ordering): adds the
     turn's rank within its conversation; one shuffle on conv_id."""

@@ -172,3 +172,40 @@ def test_null_payloads_are_isolated_error_rows(spark):
     }
     for i in (0, 1, 2):
         assert rows[i]["payload_sha256"] == jvm[i]
+
+
+def test_deduped_extraction_equals_direct(spark):
+    """extract_transcripts_deduped: one extraction per distinct payload
+    joined back must equal the direct per-turn form row-for-row (the
+    transcript pool repeats 44 payloads, so the distinct pass is ~44
+    extractions for 400 turns)."""
+    from pyspark.sql import functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.operators.extract import (
+        extract_transcripts,
+        extract_transcripts_deduped,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_turns=400, n_convs=8, seed=3)
+    direct = {
+        (r["conv_id"], r["turn_idx"]): (r["html_sha256"], r["n_cells"], r["ok"])
+        for r in extract_transcripts(df).collect()
+    }
+    dedup_rows = extract_transcripts_deduped(df).collect()
+    deduped = {
+        (r["conv_id"], r["turn_idx"]): (r["html_sha256"], r["n_cells"], r["ok"])
+        for r in dedup_rows
+    }
+    assert deduped == direct
+    # the join really was broadcast for this tiny distinct side
+    plan = extract_transcripts_deduped(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and the shuffle-join fallback stays row-equal too
+    fallback = {
+        (r["conv_id"], r["turn_idx"]): (r["html_sha256"], r["n_cells"], r["ok"])
+        for r in extract_transcripts_deduped(df, broadcast_threshold=None).collect()
+    }
+    assert fallback == direct
