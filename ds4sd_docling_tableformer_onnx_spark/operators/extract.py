@@ -226,8 +226,14 @@ def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lea
         "text",
         "tool",
     )
-    distinct = keyed.select("payload_sha256", "text", "tool").dropDuplicates(
-        ["payload_sha256"]
+    # persisted so the broadcast-decision count and the extraction read
+    # ONE materialization of the dedup shuffle (at corpus scale this is
+    # a checkpoint table of distinct payloads, itself reusable across
+    # runs)
+    distinct = (
+        keyed.select("payload_sha256", "text", "tool")
+        .dropDuplicates(["payload_sha256"])
+        .persist()
     )
     # reuse the batch worker with synthetic identity columns; results
     # are keyed by the payload hash it already computes
