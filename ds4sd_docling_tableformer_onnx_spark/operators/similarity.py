@@ -125,6 +125,48 @@ def _safe_norm(mat, axis=1):
     return np.where(norm > 0, norm, 1.0)
 
 
+def lsh_neardup_pairs(
+    emb_df,
+    threshold: float = 0.25,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Embedding near-dup candidate pairs WITHOUT blocking labels: rows
+    sharing a sign-LSH bucket are scored exactly, pairs above the
+    cosine threshold survive.
+
+    The all-pairs problem becomes one self-equi-join on the bucket key:
+    with b buckets over n rows the scored pair count is ~n^2/b instead
+    of n^2, and the persisted (id, bucket, vector) table is the only
+    shuffled input — the label-blocked variant (queries.q_embedding_neardup)
+    is the within-block analog, this is the scale path.  Hash-derived
+    planes keep the whole operator replicable in the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    bucketed = hyperplane_buckets(
+        emb_df.select(id_col, vec_col), n_planes=n_planes, seed=seed, vec_col=vec_col
+    ).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    e_a = F.col(f"a.{vec_col}").cast("array<double>")
+    e_b = F.col(f"b.{vec_col}").cast("array<double>")
+    cos = _dot(e_a, e_b) / (F.sqrt(_dot(e_a, e_a)) * F.sqrt(_dot(e_b, e_b)))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") > threshold)
+    )
+
+
 def train_ivf_centroids(emb_df, n_lists: int = 16, seed: int = 42, train_limit: int = 4096, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Driver-side coarse quantizer: k-means (Lloyd, 10 iters) over a
     bounded sample — the standard IVF recipe where the quantizer trains

@@ -1577,6 +1577,52 @@ _register(
 )
 
 
+def q_lsh_neardup(spark, sf_dir):
+    """Unblocked embedding near-dup pairs at scale: same-bucket
+    (sign-LSH) candidates scored exactly, cosine > 0.25 kept — one
+    self-equi-join on the bucket key instead of all-pairs
+    (operators/similarity.py:lsh_neardup_pairs)."""
+    from .operators.similarity import lsh_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.25, n_planes=_LSH_PLANES, seed=_LSH_SEED)
+
+
+_register(
+    "lsh_neardup_pairs",
+    q_lsh_neardup,
+    f"""
+    WITH dims AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS val,
+               unnest(range(len(embedding))) AS d
+        FROM embeddings
+    ), planes AS (
+        SELECT p, d,
+               (('0x' || substr(md5(concat('{_LSH_SEED}#', p, '#', d)), 1, 16))::UBIGINT
+                / 18446744073709551616.0) * 2.0 - 1.0 AS w
+        FROM range({_LSH_PLANES}) tp(p), range(64) td(d)
+    ), dots AS (
+        SELECT dims.vec_id, planes.p, sum(dims.val * planes.w) AS dot
+        FROM dims JOIN planes ON planes.d = dims.d
+        GROUP BY dims.vec_id, planes.p
+    ), buckets AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+        FROM dots GROUP BY vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cosine
+    FROM buckets a
+    JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 6) > 0.25
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN top-k — asserted-in-query oracle: the k-means quantizer is an
 # iterative algorithm DuckDB can't replicate, so the query itself joins
