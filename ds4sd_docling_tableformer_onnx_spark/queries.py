@@ -1239,8 +1239,10 @@ def q_embedding_neardup(spark, sf_dir):
             }
         )
 
+    # label stays int32: the oracle's fetchdf carries the parquet dtype
+    # through, and the two sides must agree exactly
     return emb.groupBy("label").applyInPandas(
-        per_label, schema="label long, neardup_pairs long, avg_cosine double"
+        per_label, schema="label int, neardup_pairs long, avg_cosine double"
     )
 
 

@@ -45,6 +45,13 @@ def main(sf_dir="/root/testdata/sf0.01", *names):
         verdicts = []
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             verdicts.append(f"schema {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")
+        else:
+            # the driver compares pandas dtypes too — flag e.g. an int32
+            # Spark count against a DuckDB BIGINT before the driver does
+            for col in spark_df.columns:
+                sd, dd = spark_df[col].dtype, duck_df[col].dtype
+                if sd != dd:
+                    verdicts.append(f"dtype {col}: {sd} vs {dd}")
         if len(spark_df) != len(duck_df):
             verdicts.append(f"rows {len(spark_df)} vs {len(duck_df)}")
         if not verdicts:
