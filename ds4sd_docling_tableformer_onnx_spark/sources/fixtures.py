@@ -18,9 +18,17 @@ from __future__ import annotations
 
 import json
 from functools import lru_cache
-from pathlib import Path
 
-_DATA = Path(__file__).parent.parent / "data" / "fixture_pool.json"
+
+def _read_pool_json() -> str:
+    """Read the embedded fixture pool via importlib.resources so it
+    works when the package ships as a ``--py-files`` zip (executors
+    import from the archive; a pathlib read into the zip would crash —
+    caught by tests/test_packaging.py)."""
+    from importlib.resources import files
+
+    pkg = __package__.rsplit(".", 1)[0]  # ds4sd_docling_tableformer_onnx_spark
+    return files(pkg).joinpath("data/fixture_pool.json").read_text()
 
 
 def _grid_payload(table, matched, pool_index):
@@ -92,7 +100,7 @@ def payload_pool():
     ``text``/``tool`` are the JSON strings stored in the transcript
     columns of the same name; expected_* anchor per-turn equality.
     """
-    pool_raw = json.loads(_DATA.read_text())
+    pool_raw = json.loads(_read_pool_json())
     from ..core.pipeline import extract_turn
 
     entries = []
