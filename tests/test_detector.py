@@ -139,3 +139,38 @@ def test_detections_feed_quality_gates(spark):
     mean_iou = sum(matched_ious) / len(matched_ious)
     iou50 = sum(1 for i in matched_ious if i >= 0.5) / len(matched_ious)
     assert acceptance(mean_iou, iou50, delta_pct)
+
+
+def test_detr_postprocess_differential_random():
+    """Differential property: 200 random (logits, boxes) instances vs an
+    independent straight-line reimplementation — same survivors, same
+    order, same pixel boxes."""
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        q = rng.integers(1, 30)
+        n_classes = rng.integers(1, 6)
+        logits = rng.normal(0, 2, size=(q, n_classes + 1))
+        boxes = rng.uniform(0, 1, size=(q, 4))
+        w, h = float(rng.integers(50, 2000)), float(rng.integers(50, 2000))
+
+        labels, scores, xyxy = detr_postprocess(logits, boxes, w, h)
+
+        # independent reference
+        exp = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs = exp / exp.sum(axis=1, keepdims=True)
+        ref = []
+        for i in range(q):
+            cls = int(np.argmax(probs[i, :-1]))
+            score = float(probs[i, cls])
+            if score > SCORE_MIN:
+                cx, cy, bw, bh = boxes[i]
+                ref.append((score, i, cls,
+                            [(cx - bw / 2) * w, (cy - bh / 2) * h,
+                             (cx + bw / 2) * w, (cy + bh / 2) * h]))
+        ref.sort(key=lambda t: (-t[0], t[1]))  # stable score-desc
+
+        assert len(labels) == len(ref)
+        for k, (score, _i, cls, box) in enumerate(ref):
+            assert labels[k] == cls
+            assert scores[k] == pytest.approx(score, rel=1e-12)
+            assert list(xyxy[k]) == pytest.approx(box, rel=1e-9, abs=1e-9)
