@@ -49,7 +49,7 @@ ONE_FILE_PER_TASK = {
 # scaling-evidence comment in main())
 SCALING_VISITS = 5
 
-# headline query subset (one per operator family; the full 41-oracle set
+# headline query subset (one per operator family; the full 42-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
     "dense_rank_reindex",

@@ -1753,6 +1753,117 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Layout detection (N6) — value oracle through the full inference tail:
+# a deterministic stand-in model (logits = exact rationals from channel
+# byte sums) drives detect_layout's real plumbing (pixel decode, DETR
+# softmax + no-object slot, 0.25 threshold, score-descending ids, box
+# denormalization), and DuckDB replicates every step from the text
+# bytes.  Same discipline as media_feature_stub: the codec/model is
+# stubbed, the Spark-side inference tail is real and exactly checked.
+# ---------------------------------------------------------------------------
+
+def _layout_stub_predict(pixels, width, height):
+    """Deterministic stand-in detector: reconstruct the image bytes from
+    the normalized pixels, derive three query logits from exact integer
+    channel sums (s/2^k rationals — bit-identical in any engine), run
+    the real DETR post-process."""
+    import numpy as np
+
+    from .operators.detector import detr_postprocess
+
+    byte_vals = np.rint(pixels[0] * 255.0).astype(np.int64)  # (3, 8, 8)
+    s = byte_vals.reshape(3, -1).sum(axis=1)
+    logits = np.array(
+        [
+            [s[0] / 2048.0, s[1] / 2048.0, 0.0],
+            [s[2] / 4096.0, s[0] / 4096.0, 1.0],
+            [0.0, 0.0, 3.0],  # no-object dominant: always dropped
+        ]
+    )
+    boxes = np.array(
+        [
+            [0.5, 0.5, 0.25, 0.25],
+            [0.25, 0.75, 0.5, 0.25],
+            [0.5, 0.5, 1.0, 1.0],
+        ]
+    )
+    return detr_postprocess(logits, boxes, width, height)
+
+
+def q_layout_detect(spark, sf_dir):
+    """N6 inference tail over synthetic 8x8 RGB 'pages' (first 192 utf-8
+    bytes of each document, text repeated to cover): one narrow
+    mapInPandas stage emitting one row per surviving detection."""
+    from pyspark.sql import functions as F
+
+    from .operators.detector import detect_layout
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        F.encode(F.substring(F.repeat("text", 5), 1, 192), "utf-8").alias("image"),
+        F.lit(8).alias("height"),
+        F.lit(8).alias("width"),
+    )
+    dets = detect_layout(docs, predict_fn=_layout_stub_predict)
+    return dets.select(
+        "image_id",
+        "det_id",
+        "label",
+        F.round("score", 6).alias("score"),
+        F.round("x0", 6).alias("x0"),
+        F.round("y0", 6).alias("y0"),
+        F.round("x1", 6).alias("x1"),
+        F.round("y1", 6).alias("y1"),
+    )
+
+
+_register(
+    "layout_detect_stub",
+    q_layout_detect,
+    """
+    WITH rep AS (
+        SELECT doc_id, substr(repeat(text, 5), 1, 192) AS s FROM documents
+    ), bytes AS (
+        SELECT doc_id, (pos - 1) % 3 AS ch, ord(substr(s, pos, 1)) AS b
+        FROM (SELECT doc_id, s, unnest(range(1, 193)) AS pos FROM rep)
+    ), sums AS (
+        SELECT doc_id,
+               sum(CASE WHEN ch = 0 THEN b ELSE 0 END) AS s0,
+               sum(CASE WHEN ch = 1 THEN b ELSE 0 END) AS s1,
+               sum(CASE WHEN ch = 2 THEN b ELSE 0 END) AS s2
+        FROM bytes GROUP BY doc_id
+    ), q AS (
+        SELECT doc_id, 0 AS qi, s0/2048.0 AS l0, s1/2048.0 AS l1, 0.0 AS lno,
+               0.5 AS cx, 0.5 AS cy, 0.25 AS bw, 0.25 AS bh FROM sums
+        UNION ALL
+        SELECT doc_id, 1, s2/4096.0, s0/4096.0, 1.0, 0.25, 0.75, 0.5, 0.25 FROM sums
+        UNION ALL
+        SELECT doc_id, 2, 0.0, 0.0, 3.0, 0.5, 0.5, 1.0, 1.0 FROM sums
+    ), scored AS (
+        SELECT doc_id, qi,
+               CASE WHEN l0 >= l1 THEN 0 ELSE 1 END AS label,
+               exp(CASE WHEN l0 >= l1 THEN l0 ELSE l1 END)
+                 / (exp(l0) + exp(l1) + exp(lno)) AS score,
+               cx, cy, bw, bh
+        FROM q
+    ), kept AS (
+        SELECT * FROM scored WHERE score > 0.25
+    )
+    SELECT doc_id AS image_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, qi ASC) - 1 AS INT) AS det_id,
+           label,
+           round(score, 6) AS score,
+           round((cx - bw / 2) * 8, 6) AS x0,
+           round((cy - bh / 2) * 8, 6) AS y0,
+           round((cx + bw / 2) * 8, 6) AS x1,
+           round((cy + bh / 2) * 8, 6) AS y1
+    FROM kept
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Flagship extraction pipeline — driver-visible correctness values: the
 # per-turn html_match discipline (reference
 # scripts/benchmark_docling_python.py:149-160, canonical-JSON equality
