@@ -219,10 +219,21 @@ def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lea
     """
     from pyspark.sql import functions as F
 
+    # UNAMBIGUOUS dedup key: concat_ws on raw strings would be — it
+    # skips NULL parts, so (text='a\\x00b', tool=NULL) and (text='a',
+    # tool='b') collide and NULL/'' are indistinguishable, silently
+    # assigning one payload's results to another's turns.  Hashing each
+    # part separately (fixed width) with an explicit null marker makes
+    # the key injective over (text, tool) pairs.
+    def _part(col):
+        return F.when(
+            F.col(col).isNull(), F.lit("\x01null")
+        ).otherwise(F.sha2(F.col(col), 256))
+
     keyed = df.select(
         "conv_id",
         "turn_idx",
-        F.sha2(F.concat_ws("\x00", "text", "tool"), 256).alias("payload_sha256"),
+        F.sha2(F.concat(_part("text"), _part("tool")), 256).alias("dedup_key"),
         "text",
         "tool",
     )
@@ -231,29 +242,34 @@ def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lea
     # a checkpoint table of distinct payloads, itself reusable across
     # runs)
     distinct = (
-        keyed.select("payload_sha256", "text", "tool")
-        .dropDuplicates(["payload_sha256"])
+        keyed.select("dedup_key", "text", "tool")
+        .dropDuplicates(["dedup_key"])
         .persist()
     )
-    # reuse the batch worker with synthetic identity columns; results
-    # are keyed by the payload hash it already computes
+    # reuse the batch worker, riding the key through its conv_id
+    # pass-through column; the worker's own payload_sha256 (checkpoint
+    # semantics, concat_ws-compatible) stays in the output untouched
     carrier = distinct.select(
-        F.lit("payload").alias("conv_id"),
+        F.col("dedup_key").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         "text",
         "tool",
     )
-    extracted = carrier.mapInArrow(
-        lambda it: _extract_batches(it, correct_overlapping_cells, lean),
-        schema=LEAN_SCHEMA if lean else OUTPUT_SCHEMA,
-    ).drop("conv_id", "turn_idx")
+    extracted = (
+        carrier.mapInArrow(
+            lambda it: _extract_batches(it, correct_overlapping_cells, lean),
+            schema=LEAN_SCHEMA if lean else OUTPUT_SCHEMA,
+        )
+        .withColumnRenamed("conv_id", "dedup_key")
+        .drop("turn_idx")
+    )
 
-    turns = keyed.select("conv_id", "turn_idx", "payload_sha256")
+    turns = keyed.select("conv_id", "turn_idx", "dedup_key")
     if broadcast_threshold is not None and distinct.limit(
         broadcast_threshold + 1
     ).count() <= broadcast_threshold:
         extracted = F.broadcast(extracted)
-    return turns.join(extracted, "payload_sha256")
+    return turns.join(extracted, "dedup_key").drop("dedup_key")
 
 
 def ordered_conversation_view(extracted):

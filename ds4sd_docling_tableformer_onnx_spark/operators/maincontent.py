@@ -124,12 +124,14 @@ def reading_order_spans(df, id_col: str = "doc_id", tokens_col: str = "tokens_js
 def synthesize_page(doc_id: int, text: str) -> str:
     import html as _html
 
+    from ..core.boilerplate import MIN_GOOD_WORDS
+
     words = (text or "").split()
     chunks = [words[i : i + 40] for i in range(0, len(words), 40)]
     # merge floor = MIN_GOOD_WORDS so every interior paragraph clears the
     # GOOD-block rule by construction (the strip->reconstruct fixed point
     # must hold for any corpus, not just the current fixture's sizes)
-    if len(chunks) > 1 and len(chunks[-1]) < 16:
+    if len(chunks) > 1 and len(chunks[-1]) < MIN_GOOD_WORDS:
         chunks[-2].extend(chunks.pop())
     # escape so <, >, & in document text survive the synthesize->tokenize
     # round trip (the tokenizer unescapes char refs)

@@ -92,23 +92,25 @@ def _real_decoder():
 
 
 def _stub_features(payloads):
-    """Vectorized stub decode for one Arrow batch: one concatenated byte
-    buffer, per-row offsets, a single np.add.at scatter into the
-    (n_rows, 16) histogram matrix."""
+    """Stub decode for one Arrow batch: per-payload numpy bincount into
+    the (n_rows, 16) histogram matrix.
+
+    Deliberately O(one payload) extra memory: media payloads are wide,
+    and a batch-flattened formulation (concatenate + int64 row index per
+    byte) would amplify a 1 GB batch to ~9 GB of temporaries.  The inner
+    op is a single vectorized bincount per payload — the per-row Python
+    here is one call per blob, not per byte."""
     import numpy as np
 
     n = len(payloads)
     sizes = np.empty(n, dtype=np.int64)
-    chunks = []
+    hist = np.zeros((n, _N_BUCKETS), dtype=np.float64)
     for i, payload in enumerate(payloads):
         data = bytes(payload) if payload is not None else b""
         sizes[i] = len(data)
-        chunks.append(data)
-    flat = np.frombuffer(b"".join(chunks), dtype=np.uint8)
-    hist = np.zeros((n, _N_BUCKETS), dtype=np.float64)
-    if flat.size:
-        row_of_byte = np.repeat(np.arange(n, dtype=np.int64), sizes)
-        np.add.at(hist, (row_of_byte, flat % _N_BUCKETS), 1.0)
+        if data:
+            arr = np.frombuffer(data, dtype=np.uint8)
+            hist[i] = np.bincount(arr % _N_BUCKETS, minlength=_N_BUCKETS)
     denom = np.maximum(sizes, 1).astype(np.float64)
     return sizes, hist / denom[:, None]
 

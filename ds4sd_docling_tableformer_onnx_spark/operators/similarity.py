@@ -67,13 +67,17 @@ def hyperplane_buckets(emb_df, n_planes: int = 8, seed: int = 42, vec_col: str =
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    cache: dict = {}  # planes built once per python worker, not per batch
+
     @pandas_udf("int")
     def _bucket(vectors):
         import numpy as np
         import pandas as pd
 
         mat = np.stack(vectors.to_numpy())
-        planes = hash_planes(mat.shape[1], n_planes, seed)
+        planes = cache.get("planes")
+        if planes is None or planes.shape[0] != mat.shape[1]:
+            planes = cache["planes"] = hash_planes(mat.shape[1], n_planes, seed)
         signs = (mat @ planes) > 0
         keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
         return pd.Series(keys.astype("int32"))

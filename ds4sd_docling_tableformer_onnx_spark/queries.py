@@ -387,10 +387,11 @@ def q_boilerplate_strip(spark, sf_dir):
     a regenerated corpus cannot silently break the sweep."""
     from pyspark.sql import functions as F
 
+    from .core.boilerplate import MIN_GOOD_WORDS
     from .operators.maincontent import strip_boilerplate_column, synthesize_pages
 
     docs = _read(spark, sf_dir, "documents").where(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 16
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= MIN_GOOD_WORDS
     )
     stripped = strip_boilerplate_column(synthesize_pages(docs))
     return stripped.select(
@@ -399,13 +400,15 @@ def q_boilerplate_strip(spark, sf_dir):
     )
 
 
+from .core.boilerplate import MIN_GOOD_WORDS as _MIN_GOOD_WORDS
+
 _register(
     "boilerplate_strip",
     q_boilerplate_strip,
-    r"""
+    rf"""
     SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS main_norm
     FROM documents
-    WHERE len(string_split_regex(trim(text), '\s+')) >= 16
+    WHERE len(string_split_regex(trim(text), '\s+')) >= {_MIN_GOOD_WORDS}
     """,
 )
 
@@ -1481,8 +1484,10 @@ _register(
     q_simhash_candidates,
     """
     WITH words AS (
+        -- regex whitespace split + empty drop == Python text.split()
         SELECT DISTINCT doc_id, word
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
+              FROM documents)
         WHERE word <> ''
     ), hashed AS (
         -- first 8 bytes of md5(word), big-endian, as uint64 — identical
@@ -1494,11 +1499,16 @@ _register(
                sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
         FROM hashed, range(64) t(b)
         GROUP BY doc_id, b
-    ), sigs AS (
+    ), word_sigs AS (
         SELECT doc_id,
                sum(CASE WHEN acc > 0 THEN (1::UBIGINT << b)
                         ELSE 0::UBIGINT END)::UBIGINT AS sig
         FROM bit_acc GROUP BY doc_id
+    ), sigs AS (
+        -- wordless/empty docs still carry signature 0 and enter the
+        -- band join, exactly as the operator does
+        SELECT d.doc_id, COALESCE(w.sig, 0::UBIGINT) AS sig
+        FROM documents d LEFT JOIN word_sigs w ON w.doc_id = d.doc_id
     ), bands AS (
         SELECT doc_id, sig, i, (sig >> (16 * i)) & 65535 AS band
         FROM sigs, range(4) t(i)
@@ -1744,7 +1754,7 @@ _register(
     SELECT g.doc_id AS item_id,
            CAST(g.n AS BIGINT) AS n_bytes,
            'image' AS kind,
-           TRUE AS ok,
+           g.n > 0 AS ok,
            g.bucket AS bucket,
            CAST(COALESCE(h.c, 0) AS BIGINT) AS byte_count
     FROM grid g LEFT JOIN hist h ON h.doc_id = g.doc_id AND h.bucket = g.bucket
@@ -1798,11 +1808,21 @@ def q_layout_detect(spark, sf_dir):
 
     from .operators.detector import detect_layout
 
-    docs = _read(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("image_id"),
-        F.encode(F.substring(F.repeat("text", 5), 1, 192), "utf-8").alias("image"),
-        F.lit(8).alias("height"),
-        F.lit(8).alias("width"),
+    # symmetric guards, like media_feature_stub: ASCII-only (the oracle
+    # reads per-CHAR ord, the operator per-BYTE) and length >= 39 so
+    # repeat(text, 5) covers the 192 bytes an 8x8x3 image needs
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(
+            (F.length("text") == F.octet_length("text"))
+            & (F.length("text") >= 39)
+        )
+        .select(
+            F.col("doc_id").alias("image_id"),
+            F.encode(F.substring(F.repeat("text", 5), 1, 192), "utf-8").alias("image"),
+            F.lit(8).alias("height"),
+            F.lit(8).alias("width"),
+        )
     )
     dets = detect_layout(docs, predict_fn=_layout_stub_predict)
     return dets.select(
@@ -1823,6 +1843,7 @@ _register(
     """
     WITH rep AS (
         SELECT doc_id, substr(repeat(text, 5), 1, 192) AS s FROM documents
+        WHERE length(text) = octet_length(encode(text)) AND length(text) >= 39
     ), bytes AS (
         SELECT doc_id, (pos - 1) % 3 AS ch, ord(substr(s, pos, 1)) AS b
         FROM (SELECT doc_id, s, unnest(range(1, 193)) AS pos FROM rep)

@@ -125,12 +125,80 @@ def test_onnx_gate_raises_cleanly(tmp_path, monkeypatch):
         load_onnx_decoder(str(tmp_path))
     from ds4sd_docling_tableformer_onnx_spark.operators.neural import _Artifacts
 
+    # artifacts construction must NOT couple to the decode gate (tensor
+    # prep has to work without a decoder); only get_predictor() gates
     _Artifacts._instance = None
     try:
+        artifacts = _Artifacts.get()
+        assert artifacts.word_map
         with pytest.raises(NotImplementedError):
-            _Artifacts.get()
+            artifacts.get_predictor()
     finally:
         _Artifacts._instance = None
+
+
+def _surrogate_table_predictor(tensor):
+    """Deterministic stand-in neural stage for decode_tables: a fixed
+    2x2 grid whose bboxes ride on the tensor mean (proves P1-P3 ran)."""
+    from ds4sd_docling_tableformer_onnx_spark.config import WORD_MAP_TAG as T
+
+    m = float(abs(tensor.mean())) % 0.5
+    return {
+        "tag_seq": [T["<start>"], T["fcel"], T["fcel"], T["nl"],
+                    T["fcel"], T["fcel"], T["nl"], T["<end>"]],
+        "bboxes": [[m, m, m + 0.2, m + 0.2]] * 4,
+        "classes": [2, 2, 2, 2],
+    }
+
+
+def test_decode_tables_operator_with_injected_stage(spark):
+    """The live-decode Spark consumer: P1-P3 preparation feeds the
+    injected neural stage per table; error isolation per row."""
+    import numpy as np
+
+    from ds4sd_docling_tableformer_onnx_spark.config import WORD_MAP_TAG as T
+    from ds4sd_docling_tableformer_onnx_spark.operators.neural import decode_tables
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(4):
+        h, w = 64, 48
+        img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        rows.append((i, bytearray(img.tobytes()), h, w, [4.0, 4.0, 40.0, 60.0]))
+    rows.append((99, bytearray(b"short"), 64, 48, [0.0, 0.0, 10.0, 10.0]))  # bad image
+    df = spark.createDataFrame(
+        rows,
+        "item_id long, image binary, height int, width int, table_bbox array<double>",
+    )
+    out = {r["item_id"]: r for r in
+           decode_tables(df, predict_fn=_surrogate_table_predictor).collect()}
+    assert len(out) == 5
+    for i in range(4):
+        assert out[i]["ok"] and out[i]["err"] is None
+        assert out[i]["tag_seq"][0] == T["<start>"]
+        assert out[i]["tag_seq"][-1] == T["<end>"]
+        assert out[i]["n_boxes"] == 4 and out[i]["classes"] == [2, 2, 2, 2]
+    assert not out[99]["ok"] and "Error" in out[99]["err"]
+
+
+def test_decode_tables_default_stage_is_gated(spark, monkeypatch):
+    """Without predict_fn and without the gate, decode_tables fails the
+    stage with the clear config message (a missing model is a job
+    configuration error, not a per-row data error)."""
+    import numpy as np
+
+    from ds4sd_docling_tableformer_onnx_spark.operators.neural import decode_tables
+
+    monkeypatch.delenv("SPARK_GRAFT_ONNX_DIR", raising=False)
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(img.tobytes()), 16, 16, [0.0, 0.0, 16.0, 16.0])],
+        "item_id long, image binary, height int, width int, table_bbox array<double>",
+    )
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="SPARK_GRAFT_ONNX_DIR"):
+        decode_tables(df).collect()
 
 
 def test_onnx_runtime_end_to_end():

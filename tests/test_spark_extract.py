@@ -209,3 +209,36 @@ def test_deduped_extraction_equals_direct(spark):
         for r in extract_transcripts_deduped(df, broadcast_threshold=None).collect()
     }
     assert fallback == direct
+
+
+def test_deduped_extraction_distinguishes_concat_colliding_payloads(spark):
+    """(text=T+'\\x00'+O, tool=NULL) and (text=T, tool=O) collide under a
+    naive concat_ws key (it skips NULLs); the dedup key must keep them
+    apart — one extracts fine, the other is an error row, exactly as in
+    the direct form."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.extract import (
+        extract_transcripts,
+        extract_transcripts_deduped,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.sources.fixtures import payload_pool
+
+    entry = next(e for e in payload_pool() if e["kind"] == "prediction")
+    text, tool = entry["text"], entry["tool"]
+    rows = [
+        ("c1", 0, "user", text, tool, None),
+        ("c1", 1, "user", text + "\x00" + tool, None, None),
+        ("c1", 2, "user", None, text + "\x00" + tool, None),  # null text
+        ("c1", 3, "user", text, tool, None),                  # true duplicate
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    direct = {r["turn_idx"]: (r["ok"], r["html_sha256"]) for r in extract_transcripts(df).collect()}
+    dedup = {
+        r["turn_idx"]: (r["ok"], r["html_sha256"])
+        for r in extract_transcripts_deduped(df).collect()
+    }
+    assert len(dedup) == 4
+    assert dedup == direct
+    assert direct[0][0] is True and direct[1][0] is False  # genuinely different outcomes
+    assert dedup[0] == dedup[3]  # the true duplicate deduped to one extraction
