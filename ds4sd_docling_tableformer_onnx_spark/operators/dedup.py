@@ -96,8 +96,12 @@ def simhash_candidates(df, id_col: str = "doc_id"):
     passes; measured 4x slower at sf0.1).  At 10^12-doc scale the same
     move is writing signatures to a (bucketed) table once — ~20 B/doc —
     and band-joining the materialized table; persist() is the in-plan
-    analog at bench scale."""
+    analog at bench scale.  The returned frame owns the persisted
+    signature table: release with ``plans.cache.release(result)`` after
+    the terminal action."""
     from pyspark.sql import functions as F
+
+    from ..plans.cache import adopt
 
     banded = df.select(
         id_col,
@@ -132,4 +136,4 @@ def simhash_candidates(df, id_col: str = "doc_id"):
     result = parts[0]
     for part in parts[1:]:
         result = result.unionAll(part)
-    return result
+    return adopt(result, banded)

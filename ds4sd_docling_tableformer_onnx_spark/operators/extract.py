@@ -27,6 +27,8 @@ import hashlib
 import json
 from typing import Iterator
 
+from ..functions.keys import payload_key_col, payload_key_py
+
 OUTPUT_SCHEMA = (
     "conv_id string, turn_idx int, payload_id int, ok boolean, err string, "
     "num_rows int, num_cols int, n_cells int, n_matches int, "
@@ -69,13 +71,11 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
             batch.column("text").to_pylist(),
             batch.column("tool").to_pylist(),
         ):
-            # NULL-safe payload key, replicating concat_ws("\x00", text,
-            # tool) exactly (concat_ws drops null parts) so this hash
-            # always equals resume_filter's JVM-side sha2 and a null
-            # payload is isolated as an error row, never a task crash
-            joined = "\x00".join(p for p in (text, tool) if p is not None)
-            payload_sha = hashlib.sha256(joined.encode("utf-8")).hexdigest()
-            out["payload_sha256"].append(payload_sha)
+            # The shared injective payload key (functions/keys.py):
+            # byte-identical to resume_filter's JVM-side expression, so a
+            # null payload is isolated as an error row (never a task
+            # crash) and checkpoint resume matches it exactly.
+            out["payload_sha256"].append(payload_key_py(text, tool))
             # Per-turn isolation must be exception-safe mid-row: compute
             # the whole row first, append to the column lists only once
             # it is complete, so a failure at ANY point (payload parse,
@@ -216,24 +216,24 @@ def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lea
     Row-for-row equal to ``extract_transcripts`` (tests pin it); use
     the direct form when payloads are known to be near-unique — the
     distinct shuffle then buys nothing.
+
+    The returned frame owns the persisted distinct-payload table:
+    release with ``plans.cache.release(result)`` after the terminal
+    action (harnesses do; see plans/cache.py for the lifecycle).
     """
     from pyspark.sql import functions as F
 
-    # UNAMBIGUOUS dedup key: concat_ws on raw strings would be — it
-    # skips NULL parts, so (text='a\\x00b', tool=NULL) and (text='a',
-    # tool='b') collide and NULL/'' are indistinguishable, silently
-    # assigning one payload's results to another's turns.  Hashing each
-    # part separately (fixed width) with an explicit null marker makes
-    # the key injective over (text, tool) pairs.
-    def _part(col):
-        return F.when(
-            F.col(col).isNull(), F.lit("\x01null")
-        ).otherwise(F.sha2(F.col(col), 256))
+    from ..plans.cache import adopt
 
+    # UNAMBIGUOUS dedup key — the shared injective payload key
+    # (functions/keys.py; a concat_ws key would collide on NULL parts,
+    # silently assigning one payload's results to another's turns).
+    # Same key as checkpoint resume / the worker's lineage column, so a
+    # materialized distinct-payload table serves both dedup and resume.
     keyed = df.select(
         "conv_id",
         "turn_idx",
-        F.sha2(F.concat(_part("text"), _part("tool")), 256).alias("dedup_key"),
+        payload_key_col("text", "tool").alias("dedup_key"),
         "text",
         "tool",
     )
@@ -247,8 +247,8 @@ def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lea
         .persist()
     )
     # reuse the batch worker, riding the key through its conv_id
-    # pass-through column; the worker's own payload_sha256 (checkpoint
-    # semantics, concat_ws-compatible) stays in the output untouched
+    # pass-through column; the worker recomputes the same shared key as
+    # its payload_sha256 lineage column (tests pin the equality)
     carrier = distinct.select(
         F.col("dedup_key").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
@@ -269,7 +269,7 @@ def extract_transcripts_deduped(df, correct_overlapping_cells: bool = False, lea
         broadcast_threshold + 1
     ).count() <= broadcast_threshold:
         extracted = F.broadcast(extracted)
-    return turns.join(extracted, "dedup_key").drop("dedup_key")
+    return adopt(turns.join(extracted, "dedup_key").drop("dedup_key"), distinct)
 
 
 def ordered_conversation_view(extracted):

@@ -129,13 +129,33 @@ def _safe_norm(mat, axis=1):
     return np.where(norm > 0, norm, 1.0)
 
 
+def auto_n_planes(
+    n_rows: int, target_bucket_rows: int = 1024, lo: int = 8, hi: int = 24
+) -> int:
+    """Plane count scaled to corpus size: enough sign bits that a
+    UNIFORM corpus lands ~``target_bucket_rows`` per bucket
+    (``2^p >= n / target``), clamped to [lo, hi].  At 10^9 rows with the
+    default target this yields 20 planes (~1M buckets, ~1k rows each —
+    ~500k scored pairs per bucket) instead of round 2's fixed 8 planes
+    (256 buckets -> ~4M rows and ~10^13 pairs per bucket).  Uniformity
+    is an assumption, not a guarantee — the ``max_bucket_rows`` cap in
+    :func:`lsh_neardup_pairs` is the hard guard for skewed corpora."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def lsh_neardup_pairs(
     emb_df,
     threshold: float = 0.25,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = 10_000,
+    target_bucket_rows: int = 1024,
 ):
     """Embedding near-dup candidate pairs WITHOUT blocking labels: rows
     sharing a sign-LSH bucket are scored exactly, pairs above the
@@ -146,17 +166,69 @@ def lsh_neardup_pairs(
     of n^2, and the persisted (id, bucket, vector) table is the only
     shuffled input — the label-blocked variant (queries.q_embedding_neardup)
     is the within-block analog, this is the scale path.  Hash-derived
-    planes keep the whole operator replicable in the DuckDB oracle."""
+    planes keep the whole operator replicable in the DuckDB oracle.
+
+    Two skew guards (a fixed plane count has a quadratic cliff: any
+    bucket with m rows scores m^2/2 pairs regardless of corpus size):
+
+    - ``n_planes=None`` derives the plane count from the corpus size
+      via :func:`auto_n_planes` (one ``count()`` action — at table
+      scale that is metadata-cheap);
+    - ``max_bucket_rows`` HARD-CAPS bucket population: buckets above
+      the cap are excluded from the pair join entirely and the drop is
+      logged (bucket keys, row count) — no silent caps.  A degenerate
+      corpus (e.g. millions of zero/identical embeddings in one bucket)
+      then costs one aggregation instead of a ~m^2 self-join.  Dropped
+      buckets mean missed pairs BY CHOICE: near-dup groups that large
+      are better handled by exact dedup upstream (identical vectors)
+      or a recursive split; the log tells the operator which buckets
+      to follow up.  ``None`` disables the guard.
+
+    The returned frame owns the persisted bucket table — release it
+    with ``plans.cache.release(result)`` after the terminal action.
+    """
     from pyspark.sql import functions as F
 
-    bucketed = hyperplane_buckets(
+    from ..plans.cache import adopt
+
+    if n_planes is None:
+        n_planes = auto_n_planes(emb_df.count(), target_bucket_rows)
+
+    persisted = hyperplane_buckets(
         emb_df.select(id_col, vec_col), n_planes=n_planes, seed=seed, vec_col=vec_col
     ).persist()
+    bucketed = persisted
+
+    if max_bucket_rows is not None:
+        # bucket census: tiny frame (<= 2^n_planes rows), one pass over
+        # the (now materialized) persisted table
+        oversized = (
+            bucketed.groupBy("bucket")
+            .count()
+            .where(F.col("count") > max_bucket_rows)
+            .collect()
+        )
+        if oversized:
+            import logging
+
+            dropped_rows = sum(r["count"] for r in oversized)
+            logging.getLogger(__name__).warning(
+                "lsh_neardup_pairs: dropping %d oversized bucket(s) "
+                "(%d rows > max_bucket_rows=%d each is capped at): %s",
+                len(oversized),
+                dropped_rows,
+                max_bucket_rows,
+                sorted(r["bucket"] for r in oversized)[:32],
+            )
+            bucketed = bucketed.where(
+                ~F.col("bucket").isin([r["bucket"] for r in oversized])
+            )
+
     a, b = bucketed.alias("a"), bucketed.alias("b")
     e_a = F.col(f"a.{vec_col}").cast("array<double>")
     e_b = F.col(f"b.{vec_col}").cast("array<double>")
     cos = _dot(e_a, e_b) / (F.sqrt(_dot(e_a, e_a)) * F.sqrt(_dot(e_b, e_b)))
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -169,6 +241,7 @@ def lsh_neardup_pairs(
         )
         .where(F.col("cosine") > threshold)
     )
+    return adopt(result, persisted)
 
 
 def train_ivf_centroids(emb_df, n_lists: int = 16, seed: int = 42, train_limit: int = 4096, vec_col: str = "embedding", id_col: str = "vec_id"):

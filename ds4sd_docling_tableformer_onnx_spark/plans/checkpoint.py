@@ -54,16 +54,20 @@ def resume_filter(input_df, spark, checkpoint_path: str, count_skipped: bool = T
     changed payload hashes differently, so it counts as not-done and
     re-runs).  Counting it costs one extra pass over the input; pass
     ``count_skipped=False`` at petabyte scale to skip the accounting.
+
+    The key is the shared injective payload key (functions/keys.py) —
+    the same expression the extraction worker stores, so the anti-join
+    never mis-skips a colliding changed payload.  Checkpoints written
+    by rounds 1-2 used the old ``concat_ws`` form and re-run once
+    (see the re-keying note in functions/keys.py).
     """
-    from pyspark.sql import functions as F
+    from ..functions.keys import payload_key_col
 
     done = read_checkpoint(spark, checkpoint_path)
     if done is None:
         return input_df, 0
     done_keys = done.select("conv_id", "turn_idx", "payload_sha256").dropDuplicates()
-    hashed = input_df.withColumn(
-        "payload_sha256", F.sha2(F.concat_ws("\x00", "text", "tool"), 256)
-    )
+    hashed = input_df.withColumn("payload_sha256", payload_key_col("text", "tool"))
     remaining = hashed.join(done_keys, list(CHECKPOINT_KEYS), "left_anti")
     skipped = 0
     if count_skipped:

@@ -1485,6 +1485,11 @@ _register(
     """
     WITH words AS (
         -- regex whitespace split + empty drop == Python text.split()
+        -- ASCII-whitespace assumption: RE2 \\s is ASCII-only while
+        -- Python str.split() also splits on Unicode whitespace (NBSP,
+        -- \\x85, \\x1c-\\x1f).  The synthetic corpus is ASCII-ws-only;
+        -- a corpus with Unicode whitespace would need a symmetric
+        -- guard here (the operator is the correct side).
         SELECT DISTINCT doc_id, word
         FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word
               FROM documents)
@@ -1557,11 +1562,14 @@ _register(
         FROM embeddings
     ), planes AS (
         -- hash-derived hyperplane weights, identical to
-        -- operators/similarity.py hash_planes(dim, {_LSH_PLANES}, {_LSH_SEED})
+        -- operators/similarity.py hash_planes(dim, {_LSH_PLANES}, {_LSH_SEED});
+        -- the dimension bound comes from the data itself (DISTINCT d of
+        -- the unnested embeddings), not a hardcoded width, so a corpus
+        -- regenerated at a different dim keeps the oracle in lockstep
         SELECT p, d,
                (('0x' || substr(md5(concat('{_LSH_SEED}#', p, '#', d)), 1, 16))::UBIGINT
                 / 18446744073709551616.0) * 2.0 - 1.0 AS w
-        FROM range({_LSH_PLANES}) tp(p), range(64) td(d)
+        FROM range({_LSH_PLANES}) tp(p), (SELECT DISTINCT d FROM dims) td
     ), dots AS (
         SELECT dims.vec_id, planes.p, sum(dims.val * planes.w) AS dot
         FROM dims JOIN planes ON planes.d = dims.d
@@ -1589,15 +1597,25 @@ _register(
 )
 
 
+_LSH_MAX_BUCKET = 10_000  # oversized-bucket guard; never binds on the
+# near-uniform synthetic corpus (2^8 buckets x sf0.1's 2000 rows ~ 8
+# rows/bucket) but the semantics are mirrored in the oracle so a future
+# skewed corpus keeps both sides in lockstep
+
+
 def q_lsh_neardup(spark, sf_dir):
     """Unblocked embedding near-dup pairs at scale: same-bucket
     (sign-LSH) candidates scored exactly, cosine > 0.25 kept — one
     self-equi-join on the bucket key instead of all-pairs
-    (operators/similarity.py:lsh_neardup_pairs)."""
+    (operators/similarity.py:lsh_neardup_pairs), with the
+    oversized-bucket cap engaged (and replicated in the oracle)."""
     from .operators.similarity import lsh_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(emb, threshold=0.25, n_planes=_LSH_PLANES, seed=_LSH_SEED)
+    return lsh_neardup_pairs(
+        emb, threshold=0.25, n_planes=_LSH_PLANES, seed=_LSH_SEED,
+        max_bucket_rows=_LSH_MAX_BUCKET,
+    )
 
 
 _register(
@@ -1609,10 +1627,11 @@ _register(
                unnest(range(len(embedding))) AS d
         FROM embeddings
     ), planes AS (
+        -- dimension bound derived from the data (see lsh_ann_topk)
         SELECT p, d,
                (('0x' || substr(md5(concat('{_LSH_SEED}#', p, '#', d)), 1, 16))::UBIGINT
                 / 18446744073709551616.0) * 2.0 - 1.0 AS w
-        FROM range({_LSH_PLANES}) tp(p), range(64) td(d)
+        FROM range({_LSH_PLANES}) tp(p), (SELECT DISTINCT d FROM dims) td
     ), dots AS (
         SELECT dims.vec_id, planes.p, sum(dims.val * planes.w) AS dot
         FROM dims JOIN planes ON planes.d = dims.d
@@ -1621,12 +1640,21 @@ _register(
         SELECT vec_id,
                CAST(sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
         FROM dots GROUP BY vec_id
+    ), kept AS (
+        -- the oversized-bucket cap: buckets above {_LSH_MAX_BUCKET}
+        -- rows are excluded from the pair join (lsh_neardup_pairs's
+        -- max_bucket_rows guard, mirrored exactly)
+        SELECT b.vec_id, b.bucket
+        FROM buckets b
+        JOIN (SELECT bucket, count(*) AS cnt FROM buckets GROUP BY bucket) c
+          ON c.bucket = b.bucket
+        WHERE c.cnt <= {_LSH_MAX_BUCKET}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(ea.embedding::DOUBLE[],
                                         eb.embedding::DOUBLE[]), 6) AS cosine
-    FROM buckets a
-    JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    FROM kept a
+    JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     JOIN embeddings ea ON ea.vec_id = a.vec_id
     JOIN embeddings eb ON eb.vec_id = b.vec_id
     WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],

@@ -142,10 +142,13 @@ def test_partial_resume_extracts_only_missing_turns(spark, tmp_path):
 def test_null_payloads_are_isolated_error_rows(spark):
     """A NULL text/tool must become one error row (per-turn isolation),
     never a task crash — and its payload hash must still equal the
-    JVM-side concat_ws sha2 the resume filter computes."""
+    JVM-side shared injective key the resume filter computes."""
     import datetime
 
-    from pyspark.sql import functions as F
+    from ds4sd_docling_tableformer_onnx_spark.functions.keys import (
+        payload_key_col,
+        payload_key_py,
+    )
 
     ts = datetime.datetime(2026, 1, 1)
     good = (
@@ -167,11 +170,15 @@ def test_null_payloads_are_isolated_error_rows(spark):
     jvm = {
         r["turn_idx"]: r["sha"]
         for r in df.select(
-            "turn_idx", F.sha2(F.concat_ws("\x00", "text", "tool"), 256).alias("sha")
+            "turn_idx", payload_key_col("text", "tool").alias("sha")
         ).collect()
     }
+    py = {
+        r["turn_idx"]: payload_key_py(r["text"], r["tool"])
+        for r in df.collect()
+    }
     for i in (0, 1, 2):
-        assert rows[i]["payload_sha256"] == jvm[i]
+        assert rows[i]["payload_sha256"] == jvm[i] == py[i]
 
 
 def test_deduped_extraction_equals_direct(spark):
@@ -209,6 +216,42 @@ def test_deduped_extraction_equals_direct(spark):
         for r in extract_transcripts_deduped(df, broadcast_threshold=None).collect()
     }
     assert fallback == direct
+
+
+def test_resume_filter_distinguishes_concat_colliding_payloads(spark, tmp_path):
+    """Adversarial resume: a checkpoint holding (text=T+'\\x00'+O,
+    tool=NULL) must NOT cause (text=T, tool=O) on the same turn to be
+    skipped — the old concat_ws key collided exactly here; the shared
+    injective key keeps them apart, so the changed payload re-runs."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        run_with_checkpoint,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.sources.fixtures import payload_pool
+
+    entry = next(e for e in payload_pool() if e["kind"] == "prediction")
+    text, tool = entry["text"], entry["tool"]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    path = str(tmp_path / "ckpt")
+
+    first = spark.createDataFrame(
+        [("c1", 0, "user", text + "\x00" + tool, None, None)], schema
+    )
+    _, skipped0 = run_with_checkpoint(spark, first, path, run_id="r1")
+    assert skipped0 == 0
+
+    # same (conv_id, turn_idx), colliding-under-concat_ws payload: must re-run
+    changed = spark.createDataFrame([("c1", 0, "user", text, tool, None)], schema)
+    new_rows, skipped1 = run_with_checkpoint(spark, changed, path, run_id="r2")
+    assert skipped1 == 0
+    assert new_rows.count() == 1
+    assert new_rows.first()["ok"] is True  # the real payload extracted
+
+    # and the true re-submission of the SAME payload is skipped
+    _, skipped2 = run_with_checkpoint(spark, changed, path, run_id="r3")
+    assert skipped2 == 1
 
 
 def test_deduped_extraction_distinguishes_concat_colliding_payloads(spark):
