@@ -101,6 +101,28 @@ def _cpu_ceiling(n_small: int, n_big: int) -> float:
     return rates[n_big] / (rates[n_small] * (n_big / n_small))
 
 
+def _contention_probe(n_procs: int = 16) -> dict:
+    """Noisy-neighbor probe (VERDICT r2 item 4): a fixed pure-python
+    burn, single-process and n_procs-parallel.  ``single_sec`` is
+    cross-round comparable (identical workload every round: BENCH_r02's
+    uniform ~1.35x query slowdown vs r01 was attributed to neighbor
+    load by argument — this makes it data).  ``index`` =
+    parallel-mean / single: ~1.0-1.2 on an idle box (turbo droop only),
+    >1.3 when neighbors are stealing cores."""
+    import multiprocessing as mp
+
+    single = _burn(0)
+    with mp.Pool(n_procs) as pool:
+        times = pool.map(_burn, range(n_procs))
+    mean_par = sum(times) / len(times)
+    return {
+        "procs": n_procs,
+        "single_sec": round(single, 3),
+        "parallel_mean_sec": round(mean_par, 3),
+        "index": round(mean_par / single, 3),
+    }
+
+
 def run_extraction_only(spark, input_path):
     """Pure extraction throughput: full-output extraction into a noop
     sink (no driver-side collect, no verification join)."""
@@ -196,6 +218,10 @@ def main():
     # absorb session startup
     QUERIES[HEADLINE[0]](spark, SF_DIR).count()
 
+    # contention probe bracketing the timed block (emitted in the JSON so
+    # wall regressions are attributable to neighbor load, not guessed)
+    contention_before = _contention_probe()
+
     # --- headline relational / pipeline queries at CPUS cores -----------
     # best of 2 per query: a single cold shot folds plan-compilation and
     # noisy-neighbor jitter into the number
@@ -216,6 +242,7 @@ def main():
     wall_full = min(wall_a, wall_b)
     timings["extraction"] = round(wall_full, 3)
     total += wall_full
+    contention_after = _contention_probe()
     spark.stop()
 
     # --- scaling evidence: same job, N vs 4N cores ----------------------
@@ -268,6 +295,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf_label,
+        "contention_index": max(contention_before["index"], contention_after["index"]),
+        "contention": {"before": contention_before, "after": contention_after},
         "extraction": {
             "turns": turns,
             "turns_per_sec": round(turns / wall_full, 1),

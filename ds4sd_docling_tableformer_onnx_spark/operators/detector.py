@@ -31,7 +31,8 @@ SCORE_MIN = 0.25  # infer_baseline.py:54-56 / validate_quality.py:43-45
 
 DETECTION_SCHEMA = (
     "image_id long, det_id int, label int, score double, "
-    "x0 double, y0 double, x1 double, y1 double"
+    "x0 double, y0 double, x1 double, y1 double, "
+    "ok boolean, err string"
 )
 
 
@@ -103,9 +104,15 @@ def load_onnx_layout_detector(model_path: str | None = None, score_min: float = 
     session = ort.InferenceSession(model_path, providers=["CPUExecutionProvider"])
 
     def predict(pixels, width, height):
+        # batched contract: pixels f32[B,3,H,W] -> list of B per-image
+        # (labels, scores, boxes) tuples, ONE session.run per stack
         logits, pred_boxes = session.run(None, {"pixel_values": pixels})
-        return detr_postprocess(logits[0], pred_boxes[0], width, height, score_min)
+        return [
+            detr_postprocess(logits[i], pred_boxes[i], width, height, score_min)
+            for i in range(len(pixels))
+        ]
 
+    predict.batched = True
     return predict
 
 
@@ -114,32 +121,94 @@ def _detection_batches(batches: Iterator, predict_fn):
     import pandas as pd
 
     predict = predict_fn or load_onnx_layout_detector()
+    is_batched = bool(getattr(predict, "batched", False))
+
+    def _single(tensor, width, height):
+        result = predict(tensor[None], width, height)
+        return result[0] if is_batched else result
+
     for batch in batches:
-        rows = {k: [] for k in ("image_id", "det_id", "label", "score",
-                                "x0", "y0", "x1", "y1")}
-        for image_id, payload, height, width in zip(
-            batch["image_id"], batch["image"], batch["height"], batch["width"]
+        n = len(batch["image_id"])
+        # results[i]: (labels, scores, boxes) tuple on success, an error
+        # STRING on failure — per-image isolation: a bad payload (wrong
+        # byte count, model error) becomes one ok=False row, never a
+        # task crash (same discipline as neural.py's _decode_batches)
+        results: list = [None] * n
+        groups: dict = {}  # (h, w) -> ([row idx], [pixel tensor])
+        for i, (payload, height, width) in enumerate(
+            zip(batch["image"], batch["height"], batch["width"])
         ):
-            height, width = int(height), int(width)
-            img = np.frombuffer(bytes(payload), dtype=np.uint8)
-            img = img.reshape(height, width, 3)
-            pixels = (img.astype(np.float32) / 255.0).transpose(2, 0, 1)[None]
-            labels, scores, boxes = predict(pixels, width, height)
+            try:
+                h, w = int(height), int(width)
+                img = np.frombuffer(bytes(payload), dtype=np.uint8)
+                img = img.reshape(h, w, 3)  # raises on bad byte count
+                pixels = (img.astype(np.float32) / 255.0).transpose(2, 0, 1)
+            except Exception as exc:
+                results[i] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
+            idxs, tensors = groups.setdefault((h, w), ([], []))
+            idxs.append(i)
+            tensors.append(pixels)
+
+        # same-shape images stack into ONE model call per group (the
+        # model contract carries a batch dim); ragged sizes simply land
+        # in separate groups.  A failed stacked call falls back to
+        # per-image so one poison image cannot take down its group.
+        for (h, w), (idxs, tensors) in groups.items():
+            if is_batched and len(tensors) > 1:
+                try:
+                    outs = predict(np.stack(tensors), w, h)
+                    for i, out in zip(idxs, outs):
+                        results[i] = out
+                    continue
+                except Exception:
+                    pass  # isolate below
+            for i, tensor in zip(idxs, tensors):
+                try:
+                    results[i] = _single(tensor, w, h)
+                except Exception as exc:
+                    results[i] = f"{type(exc).__name__}: {exc}"[:500]
+
+        rows = {k: [] for k in ("image_id", "det_id", "label", "score",
+                                "x0", "y0", "x1", "y1", "ok", "err")}
+        for i in range(n):  # emit in input order (deterministic output)
+            image_id = int(batch["image_id"][i])
+            if isinstance(results[i], str):
+                rows["image_id"].append(image_id)
+                rows["det_id"].append(-1)
+                rows["label"].append(-1)
+                rows["score"].append(None)
+                for key in ("x0", "y0", "x1", "y1"):
+                    rows[key].append(None)
+                rows["ok"].append(False)
+                rows["err"].append(results[i])
+                continue
+            labels, scores, boxes = results[i]
             for det_id, (label, score, box) in enumerate(zip(labels, scores, boxes)):
-                rows["image_id"].append(int(image_id))
+                rows["image_id"].append(image_id)
                 rows["det_id"].append(det_id)  # W5: ids in score-desc order
                 rows["label"].append(int(label))
                 rows["score"].append(float(score))
                 for key, val in zip(("x0", "y0", "x1", "y1"), box):
                     rows[key].append(float(val))
+                rows["ok"].append(True)
+                rows["err"].append(None)
         yield pd.DataFrame(rows)
 
 
 def detect_layout(df, predict_fn=None):
     """(image_id, image binary RGB, height, width) -> one row per
-    detection, ids score-descending per image.  Narrow mapInPandas
-    stage; the session (or injected ``predict_fn``) initializes once per
-    python worker."""
+    detection, ids score-descending per image, plus one ``ok=False``
+    row per undecodable/failed image (per-image isolation).  Narrow
+    mapInPandas stage; the session (or injected ``predict_fn``)
+    initializes once per python worker.
+
+    ``predict_fn`` contract: ``predict(pixels, width, height)`` with
+    ``pixels f32[1,3,H,W]`` returning one ``(labels, scores, boxes)``
+    tuple — or, with attribute ``batched = True``, ``pixels
+    f32[B,3,H,W]`` returning a list of B tuples; same-shape images in
+    an Arrow batch then cost ONE model call (the default ONNX binding
+    is batched)."""
     pruned = df.select("image_id", "image", "height", "width")
     return pruned.mapInPandas(
         lambda it: _detection_batches(it, predict_fn), schema=DETECTION_SCHEMA

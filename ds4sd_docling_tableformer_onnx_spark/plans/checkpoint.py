@@ -8,15 +8,44 @@ checkpoint *tables*: one parquet/Iceberg table per stage keyed by
 checkpoint to process only missing turns — idempotent resume without
 driver-side bookkeeping (north_rule).
 
-On a real cluster the writes below target Iceberg
-(``df.writeTo(table).using("iceberg").append()``, snapshot isolation
-giving exactly-once semantics per run_id); the sandbox ships the same
-logic over parquet directories in append mode.
+Checkpoint targets are EITHER a filesystem path (parquet, append mode —
+the sandbox default) or a catalog table identifier
+(``catalog.db.table``): when the target's catalog is configured in the
+session (``spark.sql.catalog.<name>``), writes go through
+``df.writeTo(table).using("iceberg").append()`` — snapshot isolation
+giving exactly-once semantics per run_id — and reads through
+``spark.table``.  A table target WITHOUT a configured catalog raises a
+clear ``NotImplementedError`` (the same gate discipline as
+operators/realmodel.py: never a silent fallback).  Resume semantics are
+identical on both backends; tests/test_plans.py carries a skip-gated
+test that executes whenever Iceberg jars are present.
 """
 
 from __future__ import annotations
 
 CHECKPOINT_KEYS = ("conv_id", "turn_idx", "payload_sha256")
+
+
+def is_table_target(target: str) -> bool:
+    """``catalog.db.table`` identifier (Iceberg path) vs filesystem
+    path (parquet path).  Any path separator or URI scheme means path."""
+    return (
+        "/" not in target
+        and "\\" not in target
+        and ":" not in target
+        and "." in target
+    )
+
+
+def _require_catalog(spark, target: str):
+    catalog = target.split(".", 1)[0]
+    if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+        raise NotImplementedError(
+            f"checkpoint target {target!r} names catalog {catalog!r} but "
+            f"spark.sql.catalog.{catalog} is not configured — configure an "
+            "Iceberg catalog (and ship the iceberg-spark runtime jars) or "
+            "pass a filesystem path for the parquet backend"
+        )
 
 
 def with_lineage(df, run_id: str, stage: str):
@@ -31,11 +60,24 @@ def with_lineage(df, run_id: str, stage: str):
 
 
 def write_checkpoint(df, path: str, run_id: str, stage: str):
-    """Append this stage's output to its checkpoint table."""
-    with_lineage(df, run_id, stage).write.mode("append").parquet(path)
+    """Append this stage's output to its checkpoint table (parquet path
+    or Iceberg catalog table — see module docstring)."""
+    framed = with_lineage(df, run_id, stage)
+    if is_table_target(path):
+        spark = framed.sparkSession
+        _require_catalog(spark, path)
+        if spark.catalog.tableExists(path):
+            framed.writeTo(path).append()
+        else:
+            framed.writeTo(path).using("iceberg").create()
+        return
+    framed.write.mode("append").parquet(path)
 
 
 def read_checkpoint(spark, path: str):
+    if is_table_target(path):
+        _require_catalog(spark, path)
+        return spark.table(path) if spark.catalog.tableExists(path) else None
     try:
         return spark.read.parquet(path)
     except Exception:
@@ -109,4 +151,5 @@ def run_with_checkpoint(
         remaining, correct_overlapping_cells=correct_overlapping_cells
     )
     write_checkpoint(extracted, checkpoint_path, run_id, stage="extract")
-    return spark.read.parquet(checkpoint_path).where(f"run_id = '{run_id}'"), skipped
+    done = read_checkpoint(spark, checkpoint_path)
+    return done.where(f"run_id = '{run_id}'"), skipped

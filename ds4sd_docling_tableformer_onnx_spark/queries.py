@@ -1801,23 +1801,18 @@ _register(
 # ---------------------------------------------------------------------------
 
 def _layout_stub_predict(pixels, width, height):
-    """Deterministic stand-in detector: reconstruct the image bytes from
-    the normalized pixels, derive three query logits from exact integer
+    """Deterministic stand-in detector (BATCHED contract, like the real
+    ONNX binding): reconstruct the image bytes from the normalized
+    pixels, derive three query logits per image from exact integer
     channel sums (s/2^k rationals — bit-identical in any engine), run
-    the real DETR post-process."""
+    the real DETR post-process per image.  One call per same-shape
+    stack — the oracle-checked query exercises the batched path."""
     import numpy as np
 
     from .operators.detector import detr_postprocess
 
-    byte_vals = np.rint(pixels[0] * 255.0).astype(np.int64)  # (3, 8, 8)
-    s = byte_vals.reshape(3, -1).sum(axis=1)
-    logits = np.array(
-        [
-            [s[0] / 2048.0, s[1] / 2048.0, 0.0],
-            [s[2] / 4096.0, s[0] / 4096.0, 1.0],
-            [0.0, 0.0, 3.0],  # no-object dominant: always dropped
-        ]
-    )
+    byte_vals = np.rint(pixels * 255.0).astype(np.int64)  # (B, 3, 8, 8)
+    sums = byte_vals.reshape(len(pixels), 3, -1).sum(axis=2)
     boxes = np.array(
         [
             [0.5, 0.5, 0.25, 0.25],
@@ -1825,7 +1820,20 @@ def _layout_stub_predict(pixels, width, height):
             [0.5, 0.5, 1.0, 1.0],
         ]
     )
-    return detr_postprocess(logits, boxes, width, height)
+    outs = []
+    for s in sums:
+        logits = np.array(
+            [
+                [s[0] / 2048.0, s[1] / 2048.0, 0.0],
+                [s[2] / 4096.0, s[0] / 4096.0, 1.0],
+                [0.0, 0.0, 3.0],  # no-object dominant: always dropped
+            ]
+        )
+        outs.append(detr_postprocess(logits, boxes, width, height))
+    return outs
+
+
+_layout_stub_predict.batched = True
 
 
 def q_layout_detect(spark, sf_dir):

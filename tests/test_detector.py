@@ -141,6 +141,108 @@ def test_detections_feed_quality_gates(spark):
     assert acceptance(mean_iou, iou50, delta_pct)
 
 
+def _batch_echo_predict(pixels, width, height):
+    """Batched stand-in whose every detection's label ENCODES the stack
+    size it was called with — workers are separate processes, so the
+    call count is smuggled out through the data itself."""
+    batch_size = len(pixels)
+    outs = []
+    for _ in range(batch_size):
+        # 1 survivor: query 2's class prob e^0/(e^0+e^2) ~ 0.12 < 0.25
+        logits = np.array([[6.0, 0.0], [0.0, 2.0]])
+        boxes = np.array([[0.5, 0.5, 0.5, 0.5], [0.1, 0.1, 0.1, 0.1]])
+        labels, scores, xyxy = detr_postprocess(logits, boxes, width, height)
+        outs.append((np.full(len(labels), batch_size), scores, xyxy))
+    return outs
+
+
+_batch_echo_predict.batched = True
+
+
+def test_batched_predict_one_call_per_stack(spark):
+    """Same-shape images in one Arrow batch must reach the model as ONE
+    stacked call (VERDICT r2 item 6): every emitted label carries the
+    stack size the predict saw."""
+    rows = [
+        (i, bytearray(np.full((8, 10, 3), 7 * i, np.uint8).tobytes()), 8, 10)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, image binary, height int, width int"
+    ).coalesce(1)  # one partition -> one Arrow batch -> one stack
+    out = detect_layout(df, predict_fn=_batch_echo_predict).collect()
+    assert len(out) == 6
+    assert all(r["label"] == 6 for r in out)  # one predict call, B=6
+    assert all(r["ok"] for r in out)
+
+    # ragged sizes split into per-shape stacks, never one mixed call
+    ragged = rows[:3] + [
+        (9, bytearray(np.zeros((4, 4, 3), np.uint8).tobytes()), 4, 4)
+    ]
+    df2 = spark.createDataFrame(
+        ragged, "image_id long, image binary, height int, width int"
+    ).coalesce(1)
+    out2 = {r["image_id"]: r["label"] for r in
+            detect_layout(df2, predict_fn=_batch_echo_predict).collect()}
+    assert out2[0] == out2[1] == out2[2] == 3  # the 8x10 stack
+    assert out2[9] == 1  # the lone 4x4 image (single-image call)
+
+
+def test_bad_image_is_isolated_error_row(spark):
+    """A payload whose byte count does not match height*width*3 must
+    become one ok=False row and leave its batch-mates intact (ADVICE
+    r2 item 1)."""
+    good = bytearray(np.full((8, 10, 3), 40, np.uint8).tobytes())
+    rows = [
+        (0, good, 8, 10),
+        (1, bytearray(b"\x00" * 17), 8, 10),  # wrong byte count
+        (2, good, 8, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, image binary, height int, width int"
+    ).coalesce(1)
+    out = detect_layout(df, predict_fn=_fake_predict).collect()
+    by_image = {}
+    for r in out:
+        by_image.setdefault(r["image_id"], []).append(r)
+    assert all(r["ok"] for r in by_image[0] + by_image[2])
+    (bad,) = by_image[1]
+    assert bad["ok"] is False and "cannot reshape" in bad["err"]
+    assert bad["det_id"] == -1 and bad["score"] is None
+    # good images produced identical detections despite the poison row
+    assert len(by_image[0]) == len(by_image[2]) >= 1
+
+
+def test_poison_image_in_batched_stack_falls_back_per_image(spark):
+    """A stacked call that throws must degrade to per-image calls so
+    only the poison image errors."""
+
+    def _poison_predict(pixels, width, height):
+        import numpy as np  # noqa: F811
+
+        if len(pixels) > 1:
+            raise RuntimeError("batch refused")
+        if float(pixels.mean()) == 0.0:
+            raise ValueError("poison image")
+        logits = np.array([[6.0, 0.0], [0.0, 1.0]])
+        boxes = np.array([[0.5, 0.5, 0.5, 0.5], [0.1, 0.1, 0.1, 0.1]])
+        return [detr_postprocess(logits, boxes, width, height)]
+
+    _poison_predict.batched = True
+    rows = [
+        (0, bytearray(np.full((4, 4, 3), 50, np.uint8).tobytes()), 4, 4),
+        (1, bytearray(np.zeros((4, 4, 3), np.uint8).tobytes()), 4, 4),
+        (2, bytearray(np.full((4, 4, 3), 90, np.uint8).tobytes()), 4, 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, image binary, height int, width int"
+    ).coalesce(1)
+    out = {r["image_id"]: r for r in
+           detect_layout(df, predict_fn=_poison_predict).collect()}
+    assert out[0]["ok"] and out[2]["ok"]
+    assert not out[1]["ok"] and "poison image" in out[1]["err"]
+
+
 def test_detr_postprocess_differential_random():
     """Differential property: 200 random (logits, boxes) instances vs an
     independent straight-line reimplementation — same survivors, same

@@ -174,3 +174,72 @@ def test_ivf_store_probe_is_partition_pruned(spark, tmp_path_factory):
            ivf_topk(rest, query, k=10, n_lists=8, nprobe=4, centroids=cents).collect()]
     stored = [(r["vec_id"], r["cosine"]) for r in df.collect()]
     assert stored == mem
+
+
+def test_checkpoint_target_dispatch():
+    """Path vs catalog-table target classification."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        is_table_target,
+    )
+
+    assert is_table_target("ice.db.ckpt")
+    assert is_table_target("cat.ckpt")
+    assert not is_table_target("/tmp/ckpt")
+    assert not is_table_target("relative/path")
+    assert not is_table_target("file:/tmp/ckpt")
+    assert not is_table_target("s3a://bucket/ckpt")
+    assert not is_table_target("plainname")  # no dot: not a table ident
+
+
+def test_iceberg_gate_raises_cleanly(spark):
+    """Table target without a configured catalog: clear gate error, not
+    a silent parquet fallback (same discipline as realmodel.py)."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        read_checkpoint,
+        write_checkpoint,
+    )
+
+    df = generate_transcripts(spark, n_turns=5, n_convs=1, seed=2)
+    with pytest.raises(NotImplementedError, match="spark.sql.catalog.noice"):
+        write_checkpoint(extract_transcripts(df), "noice.db.ckpt", "r1", "extract")
+    with pytest.raises(NotImplementedError, match="spark.sql.catalog.noice"):
+        read_checkpoint(spark, "noice.db.ckpt")
+
+
+def test_iceberg_checkpoint_backend_when_available(spark, tmp_path_factory):
+    """Full resume cycle against a hadoop-type Iceberg catalog —
+    EXECUTES whenever the iceberg-spark runtime jars are present (v2
+    catalogs instantiate lazily, so runtime conf.set suffices); skips
+    cleanly in jarless sandboxes.  Resume semantics must match the
+    parquet backend exactly."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        run_with_checkpoint,
+    )
+
+    wh = tmp_path_factory.mktemp("iceberg_wh")
+    spark.conf.set(
+        "spark.sql.catalog.graft_ice", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.graft_ice.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.graft_ice.warehouse", str(wh))
+    df = generate_transcripts(spark, n_turns=20, n_convs=2, seed=11)
+    try:
+        try:
+            first, skipped0 = run_with_checkpoint(
+                spark, df, "graft_ice.db.ckpt", run_id="r1"
+            )
+            n_first = first.count()
+        except Exception as exc:
+            pytest.skip(f"iceberg runtime not on classpath: {type(exc).__name__}")
+        assert skipped0 == 0 and n_first == 20
+        second, skipped1 = run_with_checkpoint(
+            spark, df, "graft_ice.db.ckpt", run_id="r2"
+        )
+        assert skipped1 == 20 and second.count() == 0
+        ckpt = spark.table("graft_ice.db.ckpt")
+        assert {"run_id", "stage", "partition_id", "payload_sha256"} <= set(
+            ckpt.columns
+        )
+    finally:
+        for key in ("", ".type", ".warehouse"):
+            spark.conf.unset(f"spark.sql.catalog.graft_ice{key}")

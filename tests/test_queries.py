@@ -39,6 +39,21 @@ def test_contract_shape():
         assert name in oracles
 
 
+def test_every_oracle_parses_and_binds(duck):
+    """Regression guard (VERDICT r2 item 8): every oracle's SQL must
+    PLAN against the sf0.001 fixture schemas (EXPLAIN parses, binds
+    names/types, and builds the plan without executing) — a query added
+    with a broken or missing oracle fails CI here, not as a driver
+    ``no_oracle``/error row."""
+    oracles = entry_mod.oracle_sql()
+    assert oracles
+    for name, sql in oracles.items():
+        try:
+            duck.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # pragma: no cover - failure reporting
+            raise AssertionError(f"oracle {name!r} does not bind: {exc}") from exc
+
+
 @pytest.mark.parametrize("name", SPOT)
 def test_spot_oracle_equivalence(spark, duck, name):
     import pandas as pd
