@@ -1,0 +1,113 @@
+"""Connected components over near-dup candidate graphs (dedup groups).
+
+The missing last step of every dedup pipeline: candidate PAIRS (from
+MinHash/SimHash/LSH banding) must become GROUPS so one canonical
+document per group survives.  Pairs are edges; groups are connected
+components; the canonical id is the component minimum.
+
+Scale design (10^9+ nodes): hash-min label propagation —
+
+- state is one (id, comp) table, edges one (src, dst) table, both hash-
+  partitioned on id; every iteration is one join + one aggregation
+  (shuffles keyed on id, AQE-skew-safe);
+- labels propagate one hop per iteration, so iterations ~ graph
+  diameter.  Near-dup components are dense clumps (diameter 2-4 in
+  practice); the ``max_iter`` cap bounds the worst case and
+  non-convergence raises rather than returning wrong groups;
+- each iteration ``localCheckpoint``s the label table: iterative
+  DataFrame loops otherwise grow the logical plan exponentially and
+  re-execute the whole history every action.  On a cluster swap for
+  ``checkpoint()`` against a reliable dir (or write/read a table) —
+  the call site is the only change;
+- convergence detection is one count of changed labels per iteration
+  (cheap: the label table is one row per node).
+
+GraphFrames ships the same algorithm; this stays dependency-free and
+oracle-replicable (DuckDB recursive CTE computes the same min-label
+closure).
+"""
+
+from __future__ import annotations
+
+
+def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter: int = 25):
+    """(src, dst) edge list -> (id, comp) for every endpoint, where
+    ``comp`` is the smallest node id in the component (deterministic).
+
+    Raises ``RuntimeError`` if not converged within ``max_iter``
+    iterations — wrong groups are worse than a loud failure.
+    """
+    from pyspark.sql import functions as F
+
+    # symmetrize once; self-loops drop out (they never change a min)
+    fwd = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    sym = fwd.union(rev).where(F.col("a") != F.col("b")).distinct()
+    sym = sym.localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("comp").alias("nbr_comp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+        )
+        # carry the previous label through the checkpoint so convergence
+        # detection is one cheap scan of the materialized state, not a
+        # second join
+        stepped = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+                F.col("comp").alias("prev"),
+            )
+            .localCheckpoint()  # truncate lineage every iteration
+        )
+        changed = stepped.where(F.col("comp") != F.col("prev")).count()
+        labels = stepped.select("id", "comp")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations "
+        "(graph diameter exceeds the cap) — raise max_iter"
+    )
+
+
+def dedup_groups(ids_df, edges_df, id_col: str = "doc_id", src: str = "id_a", dst: str = "id_b"):
+    """Every id in ``ids_df`` labeled with its near-dup group: the
+    component minimum for ids touched by an edge, the id itself for
+    isolated ids — plus the group population.  Output
+    (id_col, group_id, group_size).
+
+    One broadcast-or-shuffle left join of the (small) component table
+    back to the id universe, then one aggregation for sizes.
+    """
+    from pyspark.sql import functions as F
+
+    comps = connected_components(edges_df, src=src, dst=dst)
+    labeled = (
+        ids_df.select(id_col)
+        .join(comps.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("group_id"),
+        )
+    )
+    sizes = labeled.groupBy("group_id").agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    return labeled.join(sizes, "group_id").select(id_col, "group_id", "group_size")

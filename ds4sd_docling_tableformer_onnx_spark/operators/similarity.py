@@ -244,6 +244,82 @@ def lsh_neardup_pairs(
     return adopt(result, persisted)
 
 
+def batch_topk(
+    emb_df,
+    queries,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    slack: int = 8,
+):
+    """Top-k by cosine for a BATCH of query vectors in one corpus pass —
+    the training-data retrieval shape (q probe queries against 10^9
+    docs) where per-query scans would read the corpus q times.
+
+    Scale plan:
+    - the (small) query matrix ships in the UDF closure (broadcast-
+      weights pattern), one vectorized (batch x dim) @ (dim x q) matmul
+      per Arrow batch — no crossJoin row explosion, no shuffle of
+      n x q scored rows;
+    - each batch emits only its top (k + slack) candidates per query
+      (partial top-k == map-side combine), so the final global window
+      shuffles ~(k + slack) * n_batches * q tiny rows instead of n * q;
+    - the global window orders by JVM-rounded cosine then id —
+      identical semantics to ``cosine_topk``; the ``slack`` margin
+      makes the partial pruning immune to rounding-boundary ties
+      (membership would only diverge with > slack exact 6-dp ties at a
+      batch's k-th boundary).
+
+    ``queries``: list of (query_id, vector).  Equality with the exact
+    crossJoin+window form is pinned by tests and the ``ann_batch_topk``
+    oracle checks that exact form end-to-end.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf  # noqa: F401 (doc parity)
+
+    qids = [int(qid) for qid, _ in queries]
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64).T  # (dim, q)
+    qnorm = np.linalg.norm(qmat, axis=0)
+    qnorm = np.where(qnorm > 0, qnorm, 1.0)
+    keep = k + slack
+
+    def _partial(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms = np.where(norms > 0, norms, 1.0)
+            sims = (mat @ qmat) / norms[:, None] / qnorm[None, :]  # (B, q)
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_sim = [], [], []
+            # half-away-from-zero 6-dp rounding (JVM round semantics)
+            r = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+            for j, qid in enumerate(qids):
+                order = np.lexsort((ids, -r[:, j]))[:keep]
+                out_q.extend([qid] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_sim.extend(sims[order, j].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "cosine_raw": out_sim}
+            )
+
+    partial = emb_df.select(id_col, vec_col).mapInPandas(
+        _partial, schema=f"query_id long, {id_col} long, cosine_raw double"
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        partial.withColumn("cosine", F.round("cosine_raw", 6))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
 def train_ivf_centroids(emb_df, n_lists: int = 16, seed: int = 42, train_limit: int = 4096, vec_col: str = "embedding", id_col: str = "vec_id"):
     """Driver-side coarse quantizer: k-means (Lloyd, 10 iters) over a
     bounded sample — the standard IVF recipe where the quantizer trains

@@ -1479,10 +1479,8 @@ def q_simhash_candidates(spark, sf_dir):
     return simhash_candidates(simhash_column(docs))
 
 
-_register(
-    "simhash_candidates",
-    q_simhash_candidates,
-    """
+# the full signature construction, shared by the dedup_groups oracle
+_SIMHASH_PAIRS_SQL = """
     WITH words AS (
         -- regex whitespace split + empty drop == Python text.split()
         -- ASCII-whitespace assumption: RE2 \\s is ASCII-only while
@@ -1522,8 +1520,9 @@ _register(
            CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
     FROM bands a JOIN bands b
       ON a.i = b.i AND a.band = b.band AND a.doc_id < b.doc_id
-    """,
-)
+    """
+
+_register("simhash_candidates", q_simhash_candidates, _SIMHASH_PAIRS_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -2064,5 +2063,387 @@ _register(
            round(avg(q.stop_ratio), 6) AS avg_stop_ratio
     FROM qualified q LEFT JOIN best b USING (doc_id)
     GROUP BY COALESCE(b.pred_lang, 'und')
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup GROUPS — connected components over the simhash near-dup graph
+# (operators/graph.py): candidate pairs become groups with a canonical
+# (minimum) id, the last step of a real dedup pipeline.  Spark runs
+# hash-min label propagation (one join + one agg per iteration, lineage
+# truncated per iteration); DuckDB replicates the same min-label
+# closure with a recursive CTE.  Full value oracle.
+# ---------------------------------------------------------------------------
+
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup groups: simhash candidates at hamming <= 3 are edges;
+    every document gets (group_id = component minimum, group_size).
+    Isolated documents form their own singleton group."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .operators.graph import dedup_groups
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = simhash_candidates(simhash_column(docs))
+    edges = cand.where(F.col("hamming") <= 3)
+    result = dedup_groups(docs, edges, id_col="doc_id")
+    return adopt(result, *cached_inputs(cand))
+
+
+_register(
+    "dedup_groups",
+    q_dedup_groups,
+    f"""
+    WITH RECURSIVE pairs AS (
+        SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_SQL}) WHERE hamming <= 3
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_a <> id_b
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs WHERE id_a <> id_b
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), reach(id, comp) AS (
+        -- min-label closure == the operator's converged hash-min state
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+        SELECT id, min(comp) AS comp FROM reach GROUP BY id
+    ), labeled AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT l.doc_id, l.group_id, CAST(s.group_size AS BIGINT) AS group_size
+    FROM labeled l
+    JOIN (SELECT group_id, count(*) AS group_size
+          FROM labeled GROUP BY group_id) s USING (group_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Repetition-ratio quality signals (Gopher-style): duplicate-word
+# fraction, top-word fraction, top-bigram fraction per document —
+# filters for degenerate/templated text in a training-data pipeline.
+# Word-level (the corpus is single-line); all arithmetic is exact
+# count ratios rounded at 6 dp on both sides.
+# ---------------------------------------------------------------------------
+
+def q_repetition_metrics(spark, sf_dir):
+    """Per-document repetition signals.  Plan: one explode + two-level
+    aggregation keyed by doc_id (skew bounded by document length), the
+    bigram pass a second narrow explode — no cross-document shuffle
+    beyond the doc_id hash partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ", -1).alias("w"))
+    counts = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(win))
+        .where("rn = 1")
+        .select("doc_id", F.col("word").alias("top_word"))
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.when(
+            F.size("w") >= 2,
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bgs"),
+    )
+    bg_top = (
+        bigrams.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("bc"))
+        .groupBy("doc_id")
+        .agg(F.max("bc").alias("top_bg"), F.sum("bc").alias("n_bg"))
+    )
+    return (
+        per_doc.join(top, "doc_id")
+        .join(bg_top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "dup_word_frac"
+            ),
+            "top_word",
+            F.round(F.col("top_count") / F.col("n_words"), 6).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+_register(
+    "repetition_metrics",
+    q_repetition_metrics,
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), counts AS (
+        SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+    ), per_doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS top_count
+        FROM counts GROUP BY doc_id
+    ), top AS (
+        SELECT doc_id, word AS top_word FROM (
+            SELECT doc_id, word,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, word ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        FROM toks WHERE len(ws) >= 2
+    ), bgc AS (
+        SELECT doc_id, bigram, count(*) AS bc FROM bg GROUP BY doc_id, bigram
+    ), bg_top AS (
+        SELECT doc_id, max(bc) AS top_bg, CAST(sum(bc) AS BIGINT) AS n_bg
+        FROM bgc GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_words, p.n_distinct,
+           round(1.0 - p.n_distinct * 1.0 / p.n_words, 6) AS dup_word_frac,
+           t.top_word,
+           round(p.top_count * 1.0 / p.n_words, 6) AS top_word_frac,
+           round(COALESCE(b.top_bg * 1.0 / b.n_bg, 0.0), 6) AS top_bigram_frac
+    FROM per_doc p
+    JOIN top t USING (doc_id)
+    LEFT JOIN bg_top b USING (doc_id)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — regex detect + redact (emails, phone numbers).  The
+# synthetic corpus carries no PII, so a deterministic specimen is
+# INJECTED identically on both sides (media_feature_stub discipline:
+# the machinery under test — Spark's regexp engine vs RE2 — is real,
+# the input is synthesized); counts and the redacted-text digest are
+# value-checked.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Detect + redact PII per document: match counts and the SHA-256
+    of the redacted text.  Narrow map stage, no shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("txt"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return aug.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("txt"), F.lit(_PII_EMAIL_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("txt"), F.lit(_PII_PHONE_RE), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_sha"),
+    )
+
+
+_register(
+    "pii_scrub",
+    q_pii_scrub,
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(txt, '\\+1-555-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+           sha256(regexp_replace(
+               regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_sha
+    FROM aug
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# URL/domain extraction + rollup — extract-all, explode, aggregate by
+# domain (crawl-style provenance accounting).  Deterministic URLs
+# injected symmetrically, same discipline as pii_scrub.
+# ---------------------------------------------------------------------------
+
+def q_url_rollup(spark, sf_dir):
+    """Per-domain URL rollup: extract every URL, project its host,
+    aggregate counts + document reach.  One explode + one agg shuffle
+    keyed by domain."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+            F.lit(" http://cdn-"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.net/asset"),
+        ).alias("txt"),
+    )
+    urls = aug.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("txt"), F.lit("https?://[^ ]+"), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id", F.regexp_extract("url", "^https?://([^/]+)", 1).alias("domain")
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_register(
+    "url_domain_rollup",
+    q_url_rollup,
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               'https://site-' || (doc_id % 7) || '.example.org/p/' || doc_id
+               || ' ' || text ||
+               ' http://cdn-' || (doc_id % 3) || '.example.net/asset' AS txt
+        FROM documents
+    ), urls AS (
+        SELECT doc_id, unnest(regexp_extract_all(txt, 'https?://[^ ]+')) AS url
+        FROM aug
+    )
+    SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM urls
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN top-k — k nearest for EVERY query vector in one corpus
+# pass.  The oracle-checked form is the exact broadcast-crossJoin +
+# window (JVM expression arithmetic, replicable); the scale operator
+# (operators/similarity.py:batch_topk — partial per-batch top-k, tiny
+# final shuffle) is pinned equal to it in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+def q_ann_batch(spark, sf_dir):
+    """Exact cosine top-10 per query for query vectors vec_id < 5
+    against the rest of the corpus: broadcast the (tiny) query side,
+    score JVM-side, rank per query under one window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+        )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q"),
+    )
+    corpus = emb.where("vec_id >= 5").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    e, q = F.col("e"), F.col("q")
+    sim = _dot(e, q) / (F.sqrt(_dot(e, e)) * F.sqrt(_dot(q, q)))
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("cosine"))
+        .withColumn("rn", F.row_number().over(win))
+        .where("rn <= 10")
+        .drop("rn")
+    )
+
+
+_register(
+    "ann_batch_topk",
+    q_ann_batch,
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < 5
+    ), c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_cosine_similarity(c.e, q.qe), 6) AS cosine
+        FROM c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 10
     """,
 )

@@ -32,11 +32,15 @@ def main(sf_dir="/root/testdata/sf0.01", *names):
             f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{sf_dir}/{table}.parquet')"
         )
 
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
     selected = names or [n for n in QUERIES if n in ORACLES]
     failures = 0
     for name in selected:
         try:
-            spark_df = QUERIES[name](spark, sf_dir).toPandas()
+            frame = QUERIES[name](spark, sf_dir)
+            spark_df = frame.toPandas()
+            release(frame)  # free operator-internal persisted inputs
             duck_df = con.execute(ORACLES[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: {type(exc).__name__}: {exc}")

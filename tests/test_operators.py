@@ -267,3 +267,107 @@ def test_ivf_topk_recall(spark):
     ).collect()
     assert len(sizes) >= 4
     assert max(r["n"] for r in sizes) < rest.count()
+
+
+# ---------------------------------------------------------------------------
+# Connected components / dedup groups (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_basic(spark):
+    from ds4sd_docling_tableformer_onnx_spark.operators.graph import (
+        connected_components,
+    )
+
+    # two components: a 4-chain {1,2,3,4} and a triangle {10,11,12}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (5, 5)],
+        "src long, dst long",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+    # the self-loop-only node 5 has no real edge: dropped from the
+    # component table (dedup_groups restores isolated ids)
+    assert 5 not in comp
+
+
+def test_connected_components_long_chain_and_cap(spark):
+    from ds4sd_docling_tableformer_onnx_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 12-node path needs ~11 propagation hops
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 12
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+
+
+def test_dedup_groups_covers_isolated_ids(spark):
+    from pyspark.sql import functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.operators.graph import dedup_groups
+
+    ids = spark.range(8).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["group_id"], r["group_size"]) for r in
+            dedup_groups(ids, edges).collect()}
+    assert rows[0] == rows[3] == rows[5] == (0, 3)
+    assert rows[1] == rows[2] == (1, 2)
+    for iso in (4, 6, 7):
+        assert rows[iso] == (iso, 1)
+    assert len(rows) == 8
+
+
+# ---------------------------------------------------------------------------
+# Batched ANN top-k: the partial-topk scale operator must equal the
+# exact broadcast-crossJoin+window form (whose own oracle is
+# ann_batch_topk)
+# ---------------------------------------------------------------------------
+
+def test_batch_topk_equals_exact(spark):
+    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
+        batch_topk,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    exact = [
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in QUERIES["ann_batch_topk"](spark, sf)
+        .orderBy("query_id", "vec_id")
+        .collect()
+    ]
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qs = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.where("vec_id < 5").orderBy("vec_id").collect()
+    ]
+    approx_df = batch_topk(emb.where("vec_id >= 5"), qs, k=10)
+    approx = [
+        (r["query_id"], r["vec_id"], r["cosine"])
+        for r in approx_df.orderBy("query_id", "vec_id").collect()
+    ]
+    assert approx == exact
+    release(approx_df)
+
+    # many tiny Arrow batches (forces real partial-topk merging)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        again = [
+            (r["query_id"], r["vec_id"], r["cosine"])
+            for r in batch_topk(emb.where("vec_id >= 5"), qs, k=10)
+            .orderBy("query_id", "vec_id")
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    assert again == exact
