@@ -72,6 +72,9 @@ HEADLINE = [
     "embedding_neardup",
     "token_count",
     "repetition_metrics",
+    "bm25_topk",
+    "mixture_sample",
+    "pack_sequences",
     "pii_scrub",
     "url_domain_rollup",
     "dedup_groups",

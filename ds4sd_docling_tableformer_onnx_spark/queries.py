@@ -2447,3 +2447,235 @@ _register(
     ) WHERE rn <= 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval top-k — inverted-index-style lexical scoring in one
+# aggregation pass: per-doc term frequencies land as conditional sums in
+# ONE groupBy (no per-term shuffle), corpus stats (N, avgdl, df) reduce
+# to a scalar row, the final top-k is orderBy+limit (TakeOrdered — no
+# global sort shuffle).  All constants written identically on both
+# sides; ordering on the rounded score with doc_id tie-break.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "window", "spark")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 docs for a fixed term query.  Plan: one explode +
+    one per-doc aggregation (dl + per-term tf via conditional sums),
+    one scalar stats reduction, arithmetic in the projection,
+    TakeOrdered top-k."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    per_doc = words.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("tot"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).first()
+    n, avgdl = stats["n"], stats["tot"] / stats["n"]
+    score = F.lit(0.0)
+    for i in range(len(_BM25_TERMS)):
+        idf = math.log(1.0 + (n - stats[f"df{i}"] + 0.5) / (stats[f"df{i}"] + 0.5))
+        tf = F.col(f"tf{i}")
+        term = (
+            F.lit(idf)
+            * tf
+            * F.lit(2.2)
+            / (tf + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
+        )
+        score = score + F.when(tf > 0, term).otherwise(F.lit(0.0))
+    return (
+        per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_register(
+    "bm25_topk",
+    q_bm25_topk,
+    """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS dl,
+               sum(CASE WHEN word = 'table'  THEN 1 ELSE 0 END) AS tf0,
+               sum(CASE WHEN word = 'window' THEN 1 ELSE 0 END) AS tf1,
+               sum(CASE WHEN word = 'spark'  THEN 1 ELSE 0 END) AS tf2
+        FROM w GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl,
+               sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+               sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        FROM per_doc
+    ), scored AS (
+        SELECT doc_id,
+               (CASE WHEN tf0 > 0 THEN ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+                     * tf0 * 2.2 / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     ELSE 0.0 END)
+             + (CASE WHEN tf1 > 0 THEN ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+                     * tf1 * 2.2 / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     ELSE 0.0 END)
+             + (CASE WHEN tf2 > 0 THEN ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+                     * tf2 * 2.2 / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                     ELSE 0.0 END) AS score
+        FROM per_doc, stats
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored WHERE round(score, 6) > 0
+    ORDER BY round(score, 6) DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling — per-source acceptance rates applied
+# via a content-hash uniform (md5(doc_id) -> u32), the standard way a
+# training mixture is weighted WITHOUT an RNG stream: any executor, any
+# retry, any engine reproduces the same sample (same discipline as the
+# hash-derived LSH planes).  Integer threshold compare — no float
+# boundary ambiguity.
+# ---------------------------------------------------------------------------
+
+def q_mixture_sample(spark, sf_dir):
+    """Hash-deterministic stratified sample: source srcK keeps docs at
+    rate 1 / 2^(K mod 4).  Narrow map + filter, no shuffle."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    # rate 1/2^(idx%4): threshold = 2^32 >> (idx%4)
+    threshold = F.expr(
+        "shiftright(CAST(4294967296 AS BIGINT), "
+        "CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4)"
+    )
+    return docs.where(u32 < threshold).select("doc_id", "source")
+
+
+_register(
+    "mixture_sample",
+    q_mixture_sample,
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < (4294967296 >> (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4))
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — assign every document a (sequence, offset) slot in
+# a stream of fixed-length training sequences (greedy concatenation in
+# doc_id order, documents may straddle sequence boundaries).  The Spark
+# side uses the SCALE plan: per-range partial token sums -> driver-side
+# cumulative offsets (one tiny collect, NB rows) -> per-range window —
+# never a single global window task.  The oracle is the plain global
+# running sum, pinning the two-phase plan equal to the global
+# semantics.
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 2048
+_PACK_RANGES = 16
+
+
+def q_pack_sequences(spark, sf_dir):
+    """(doc_id, n_tokens, start_seq, offset_in_seq, spans) under greedy
+    packing into sequences of 2048 tokens, doc_id order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens")
+    )
+    n_docs = toks.count()
+    width = max(1, -(-n_docs // _PACK_RANGES))  # ceil
+    ranged = toks.withColumn("rng", (F.col("doc_id") / width).cast("long"))
+
+    # phase 1: per-range totals -> exclusive prefix offsets (driver-side
+    # cumsum over <= _PACK_RANGES rows)
+    totals = {
+        r["rng"]: r["tot"]
+        for r in ranged.groupBy("rng").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for rng in sorted(totals):
+        offsets[rng] = acc
+        acc += totals[rng]
+    off_df = F.broadcast(
+        ranged.sparkSession.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()], "rng long, off long"
+        )
+    )
+
+    # phase 2: within-range running sum (window partitioned by range —
+    # bounded task size by construction)
+    win = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)) + F.col("off")
+    return (
+        ranged.join(off_df, "rng")
+        .withColumn("before", before)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("before") / _PACK_LEN).cast("long").alias("start_seq"),
+            (F.col("before") % _PACK_LEN).cast("long").alias("offset_in_seq"),
+            (
+                F.floor((F.col("before") + F.col("n_tokens") - 1) / _PACK_LEN)
+                - F.floor(F.col("before") / _PACK_LEN)
+                + 1
+            )
+            .cast("long")
+            .alias("spans"),
+        )
+    )
+
+
+_register(
+    "pack_sequences",
+    q_pack_sequences,
+    f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        -- CAST: DuckDB sum(BIGINT) widens to HUGEINT, which pandas
+        -- would surface as float64 and break the dtype compare
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS before
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           before // {_PACK_LEN} AS start_seq,
+           before % {_PACK_LEN} AS offset_in_seq,
+           (before + n_tokens - 1) // {_PACK_LEN} - before // {_PACK_LEN} + 1 AS spans
+    FROM c
+    """,
+)
