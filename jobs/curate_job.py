@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Cluster entrypoint: end-to-end training-data curation over a
+documents table.
+
+    spark-submit \
+      --py-files dist/ds4sd_docling_tableformer_onnx_spark.zip \
+      jobs/curate_job.py \
+      --input  /path/or/table/of/documents \
+      --output /path/for/curated/output \
+      [--max-seq-len 2048] [--hamming 3] [--cores N]
+
+Pipeline (each stage a documented scale shape, all oracle-checked in
+queries.py at small scale):
+
+1. near-dup GROUPS: simhash signatures -> banded candidate pairs
+   (hamming <= --hamming) -> connected components (hash-min label
+   propagation) -> one canonical survivor per group (smallest doc_id);
+2. quality + language signals on survivors (narrow map stages);
+3. deterministic mixture sampling (md5-hash uniform per source —
+   RNG-free, retry-stable);
+4. sequence packing: greedy (seq, offset) slots into --max-seq-len
+   token sequences via two-phase prefix sums (per-range partials +
+   driver offsets — no global window task).
+
+Output: parquet (or Iceberg table identifier on a configured cluster)
+of (doc_id, source, lang, n_tokens, group_id, group_size, start_seq,
+offset_in_seq, spans) for the surviving, sampled corpus + a JSON stats
+line on stdout.
+
+Local smoke run:
+    python jobs/curate_job.py --input sf_dir_style --output /tmp/out \
+        --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def curate(spark, docs, max_seq_len: int = 2048, hamming: int = 3, pack_ranges: int = 16):
+    """documents (doc_id, text, lang, source, ...) -> curated, packed
+    survivors.  Returns (result_df, stats_dict)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_column,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.operators.graph import dedup_groups
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
+    n_input = docs.count()
+
+    # 1. near-dup groups -> canonical survivor per group
+    cand = simhash_candidates(simhash_column(docs), id_col="doc_id")
+    edges = cand.where(F.col("hamming") <= hamming)
+    groups = dedup_groups(docs, edges, id_col="doc_id")
+    survivors = (
+        docs.join(groups, "doc_id")
+        .where(F.col("doc_id") == F.col("group_id"))  # canonical = min id
+    )
+
+    # 2. signals (narrow, shuffle-free)
+    toks = F.size(F.split("text", " ", -1)).cast("long")
+    survivors = survivors.withColumn("n_tokens", toks)
+
+    # 3. deterministic mixture sample: srcK keeps 1/2^(K%4)
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    threshold = F.expr(
+        "shiftright(CAST(4294967296 AS BIGINT), "
+        "CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4)"
+    )
+    sampled = survivors.where(u32 < threshold).select(
+        "doc_id", "source", "lang", "n_tokens", "group_id", "group_size"
+    )
+
+    # 4. two-phase sequence packing (scale shape: range-partition ->
+    # per-range partials -> driver-side offsets over <= pack_ranges
+    # rows -> per-range window).  No global window anywhere: ordering
+    # comes from repartitionByRange (globally ordered, sampled splits
+    # that stay balanced even after dedup+sampling carved holes in the
+    # id space), so each window is bounded by one range partition.
+    n_docs = sampled.count()
+    ranked = (
+        sampled.repartitionByRange(max(1, pack_ranges), "doc_id")
+        .withColumn("rng", F.spark_partition_id().cast("long"))
+    )
+    totals = {
+        r["rng"]: r["tot"]
+        for r in ranked.groupBy("rng").agg(F.sum("n_tokens").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for rng in sorted(totals):
+        offsets[rng] = acc
+        acc += totals[rng]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(k), int(v)) for k, v in offsets.items()] or [(0, 0)],
+            "rng long, off long",
+        )
+    )
+    win = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)) + F.col("off")
+    packed = (
+        ranked.join(off_df, "rng")
+        .withColumn("before", before)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "group_id",
+            "group_size",
+            F.floor(F.col("before") / max_seq_len).cast("long").alias("start_seq"),
+            (F.col("before") % max_seq_len).cast("long").alias("offset_in_seq"),
+            (
+                F.floor((F.col("before") + F.col("n_tokens") - 1) / max_seq_len)
+                - F.floor(F.col("before") / max_seq_len)
+                + 1
+            )
+            .cast("long")
+            .alias("spans"),
+        )
+    )
+    stats = {
+        "input_docs": n_input,
+        "survivors_sampled": n_docs,
+        "total_tokens": int(acc),
+        "sequences": int(-(-acc // max_seq_len)) if acc else 0,
+    }
+    release(cand)
+    return packed, stats
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--max-seq-len", type=int, default=2048)
+    parser.add_argument("--hamming", type=int, default=3)
+    parser.add_argument("--cores", type=int, default=None)
+    parser.add_argument(
+        "--sf-dir", default=None,
+        help="read documents from <sf-dir>/documents.parquet (smoke runs)",
+    )
+    args = parser.parse_args(argv)
+
+    from ds4sd_docling_tableformer_onnx_spark.session import build_session
+
+    spark = build_session(app_name="curate", cores=args.cores)
+    spark.sparkContext.setLogLevel("WARN")
+    src = f"{args.sf_dir}/documents.parquet" if args.sf_dir else args.input
+    docs = spark.read.parquet(src)
+
+    t0 = time.perf_counter()
+    packed, stats = curate(
+        spark, docs, max_seq_len=args.max_seq_len, hamming=args.hamming
+    )
+    packed.write.mode("overwrite").parquet(args.output)
+    stats["wall_sec"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""jobs/curate_job.py: end-to-end curation pipeline invariants.
+
+The job composes oracle-checked operators (simhash near-dup groups,
+deterministic mixture sampling, two-phase sequence packing), so this
+test guards the *composition*: survivor canonicality, RNG-free sampling
+determinism, and the packing contiguity invariant — with zero global
+(un-partitioned) windows in the plan.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = []
+    for i in range(240):
+        # clusters of 3 near-identical docs every 12th id
+        base = f"alpha beta gamma delta epsilon zeta {i // 12}"
+        text = base if i % 12 < 3 else f"doc {i} " + " ".join(
+            f"tok{(i * 7 + j) % 97}" for j in range(5 + i % 23)
+        )
+        rows.append((str(i), text, f"src{i % 6}", "en"))
+    return spark.createDataFrame(rows, "doc_id string, text string, source string, lang string")
+
+
+def test_curate_packing_invariants(spark, docs):
+    from curate_job import curate
+
+    packed, stats = curate(spark, docs, max_seq_len=64, hamming=3, pack_ranges=4)
+    pdf = packed.toPandas().sort_values(["start_seq", "offset_in_seq"]).reset_index(drop=True)
+
+    assert stats["input_docs"] == 240
+    assert 0 < stats["survivors_sampled"] < 240
+    assert len(pdf) == stats["survivors_sampled"]
+
+    # survivors are canonical (doc_id == group_id) and unique per group
+    assert (pdf.doc_id == pdf.group_id).all()
+    assert pdf.group_id.is_unique
+
+    # packing contiguity: global token positions are an exact prefix sum
+    before = pdf.start_seq * 64 + pdf.offset_in_seq
+    prefix = pdf.n_tokens.cumsum().shift(1).fillna(0).astype("int64")
+    assert (before.values == prefix.values).all()
+    # span count consistent with the slot arithmetic
+    end = before + pdf.n_tokens - 1
+    assert ((end // 64 - before // 64 + 1) == pdf.spans).all()
+    assert stats["sequences"] == -(-int(pdf.n_tokens.sum()) // 64)
+
+
+def test_curate_deterministic(spark, docs):
+    from curate_job import curate
+
+    a, sa = curate(spark, docs, max_seq_len=128, hamming=3, pack_ranges=3)
+    b, sb = curate(spark, docs, max_seq_len=128, hamming=3, pack_ranges=3)
+    assert sa == sb
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa.equals(pb)
