@@ -1,0 +1,116 @@
+"""Benchmark decontamination and duplicated-span statistics.
+
+Corpus-hygiene operators a training-data pipeline runs before the
+extraction/dedup output ships to a trainer:
+
+- ``decontaminate``: flag training documents that share any word
+  n-gram with an evaluation/benchmark set (the standard n-gram-overlap
+  decontamination rule, n=8 by default).  Scale shape: the eval side is
+  tiny by construction (benchmarks are thousands of rows, not
+  billions), so its distinct gram set is **broadcast**; the training
+  side explodes per-row deduplicated gram arrays (JVM-side
+  ``transform``/``slice``, no Python) into a broadcast-hash semi-join
+  that filters almost every row before the only shuffle — a per-doc
+  count over the few surviving hits.
+
+- ``duplicated_span_stats``: per-document fraction of word n-gram
+  positions whose gram occurs in >= ``min_df`` distinct documents
+  corpus-wide (the line-dedup / duplicated-text signal of
+  RefinedWeb-style pipelines, re-expressed at word-gram granularity
+  because transcript turns carry no line structure).  Two phases: a
+  doc-frequency aggregation over per-doc distinct grams (map-side
+  combine compresses the zipfy gram stream), then the position stream
+  joins the ``df >= min_df`` hot-gram table.  The hot table shrinks
+  with ``min_df``; it is left to AQE to broadcast when small — at
+  corpus scale a bloom-filter pre-pass or a shuffle join on the hashed
+  gram both keep this bounded (join key would be ``xxhash64(gram)``
+  rather than the string; kept as the string here for oracle
+  replication).
+
+Both operators stay entirely in whole-stage codegen (split /
+transform / slice / array_join / explode) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_grams(text_col, n: int):
+    """Array of word n-grams (space-joined) of ``text_col``; empty when
+    the document has fewer than ``n`` words."""
+    words = F.split(text_col, " ", -1)
+    n_pos = F.size(words) - (n - 1)
+    return F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_pos),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, n_overlap_grams) for every training doc sharing >= 1 word
+    n-gram with ``eval_docs``; n_overlap_grams counts the doc's
+    DISTINCT contaminated grams."""
+    eval_grams = (
+        eval_docs.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        id_col,
+        F.explode(F.array_distinct(_word_grams(F.col(text_col), n))).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_overlap_grams"))
+    )
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 4,
+) -> DataFrame:
+    """(id, n_positions, n_dup_positions, dup_frac) per document with
+    >= 1 gram position; dup_frac rounded to 6 dp on both engine and
+    oracle sides."""
+    grams = docs.select(id_col, _word_grams(F.col(text_col), n).alias("grams"))
+
+    # phase 1: doc frequency over per-doc DISTINCT grams -> hot set
+    hot = (
+        grams.select(id_col, F.explode(F.array_distinct("grams")).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("gram")
+    )
+
+    # phase 2: the position stream (non-distinct) joins the hot set;
+    # left join keeps docs with zero duplicated positions
+    positions = grams.where(F.size("grams") >= 1).select(
+        id_col, F.explode("grams").alias("gram")
+    )
+    flagged = positions.join(
+        hot.withColumn("is_dup", F.lit(1)), "gram", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_positions"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_positions"),
+        F.round(
+            F.coalesce(F.sum("is_dup"), F.lit(0)).cast("double") / F.count("*"), 6
+        ).alias("dup_frac"),
+    )

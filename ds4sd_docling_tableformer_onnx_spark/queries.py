@@ -2679,3 +2679,146 @@ _register(
     FROM c
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene — benchmark decontamination and duplicated-span stats
+# (operators/contamination.py).  Word 8-grams generated JVM-side
+# (split/transform/slice/array_join, whole-stage codegen); the eval
+# set is the deterministic doc_id % 43 == 0 slice so the query needs
+# no external benchmark table.
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8
+_DUP_MIN_DF = 4
+
+
+def q_decontaminate(spark, sf_dir):
+    """Training docs sharing >= 1 word 8-gram with the eval slice
+    (doc_id % 43 == 0): broadcast eval grams, semi-join the exploded
+    per-doc distinct gram stream, count hits per doc."""
+    from pyspark.sql import functions as F
+
+    from .operators.contamination import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.col("doc_id") % 43 != 0),
+        docs.where(F.col("doc_id") % 43 == 0),
+        n=_DECON_N,
+    )
+
+
+_register(
+    "decontaminate",
+    q_decontaminate,
+    f"""
+    WITH eg AS (
+        SELECT DISTINCT array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+        FROM (SELECT string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 43 = 0),
+             LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_N - 2})) AS i) t
+    ), dg AS (
+        SELECT DISTINCT doc_id, array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE doc_id % 43 <> 0),
+             LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_N - 2})) AS i) t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap_grams
+    FROM dg JOIN eg USING (gram)
+    GROUP BY doc_id
+    """,
+)
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Per-doc duplicated-span fraction: share of word-8-gram positions
+    whose gram occurs in >= 4 distinct docs corpus-wide (line-dedup
+    signal at gram granularity)."""
+    from .operators.contamination import duplicated_span_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, n=_DECON_N, min_df=_DUP_MIN_DF)
+
+
+_register(
+    "dup_span_stats",
+    q_dup_span_stats,
+    f"""
+    WITH pos AS (
+        SELECT doc_id, array_to_string(ws[i:i+{_DECON_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             LATERAL (SELECT unnest(range(1, len(ws) - {_DECON_N - 2})) AS i) t
+    ), hot AS (
+        SELECT gram
+        FROM (SELECT DISTINCT doc_id, gram FROM pos)
+        GROUP BY gram
+        HAVING count(*) >= {_DUP_MIN_DF}
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(count(h.gram) AS BIGINT) AS n_dup_positions,
+           round(CAST(count(h.gram) AS DOUBLE) / count(*), 6) AS dup_frac
+    FROM pos p LEFT JOIN hot h ON h.gram = p.gram
+    GROUP BY p.doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score — the KenLM-style perplexity filter reduced
+# to its distributable core: corpus unigram frequencies (one agg, top-
+# 65536 vocab via TakeOrdered — never a global window), then a
+# broadcast token->log10-prob join over the token stream with an OOV
+# floor of log10(0.5/total).  avg rounded to 4 dp on both sides so
+# libm-vs-JVM log ulps and summation order cannot flip the hash.
+# ---------------------------------------------------------------------------
+
+_VOCAB_CAP = 65536
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """(doc_id, n_tokens, avg_logprob) under the corpus unigram LM."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0]  # scalar, driver-side
+    vocab = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_VOCAB_CAP)
+        .select("token", F.log10(F.col("cnt").cast("double") / total).alias("logp"))
+    )
+    floor = F.lit(float(__import__("math").log10(0.5 / total)))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.coalesce(F.col("logp"), floor)), 4).alias("avg_logprob"),
+        )
+    )
+
+
+_register(
+    "unigram_logprob",
+    q_unigram_logprob,
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM tok
+    ), lp AS (
+        SELECT token, log10(CAST(count(*) AS DOUBLE) / (SELECT n FROM tot)) AS logp
+        FROM tok GROUP BY token
+        ORDER BY count(*) DESC, token ASC
+        LIMIT {_VOCAB_CAP}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(coalesce(lp.logp, log10(0.5 / (SELECT n FROM tot)))), 4)
+               AS avg_logprob
+    FROM tok t LEFT JOIN lp ON lp.token = t.token
+    GROUP BY t.doc_id
+    """,
+)

@@ -243,3 +243,27 @@ def test_iceberg_checkpoint_backend_when_available(spark, tmp_path_factory):
     finally:
         for key in ("", ".type", ".warehouse"):
             spark.conf.unset(f"spark.sql.catalog.graft_ice{key}")
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The benchmark/eval gram set is tiny by construction: its join
+    against the exploded training-gram stream must be a broadcast hash
+    join, and the only shuffle is the per-doc hit count."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["decontaminate"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The capped vocab (<= 65536 rows via TakeOrdered, never a global
+    window) broadcasts into the token stream; no sort-merge join and no
+    WindowExec anywhere."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["unigram_logprob"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
