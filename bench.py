@@ -81,6 +81,9 @@ HEADLINE = [
     "ann_batch_topk",
     "boilerplate_strip",
     "reading_order",
+    "decontaminate",
+    "dup_span_stats",
+    "unigram_logprob",
 ]
 
 

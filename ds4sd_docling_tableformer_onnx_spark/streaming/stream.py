@@ -48,6 +48,35 @@ def stream_conversation_counts(spark, input_dir: str, schema: str = TRANSCRIPT_S
     )
 
 
+def stream_dedup_turns(
+    spark,
+    input_dir: str,
+    schema: str = TRANSCRIPT_SCHEMA,
+    *,
+    lateness: str = "30 minutes",
+):
+    """Streaming exact dedup: keep the first arrival of each distinct
+    (text, tool) payload, keyed by the shared injective payload key
+    (functions/keys.py — the same key the batch dedup and checkpoint
+    resume use, so batch and streaming dedup agree row-for-row).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: a key is
+    remembered only until the watermark passes its event time + the
+    lateness horizon, so state size tracks the duplicate-arrival window
+    rather than corpus size — the only shape that survives an unbounded
+    stream.  (Within one micro-batch Spark keeps the first row in
+    arrival order; across batches the state store guarantees it.)
+    """
+    from ..functions.keys import payload_key_col
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withColumn("payload_key", payload_key_col("text", "tool"))
+        .withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(["payload_key"])
+    )
+
+
 def run_to_completion(stream_df, output_dir: str, checkpoint_dir: str, mode: str = "append"):
     """Drain all currently-available input (Trigger.AvailableNow) into a
     parquet sink with an exactly-once checkpoint; returns the query."""

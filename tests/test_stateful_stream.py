@@ -193,3 +193,52 @@ def test_watermarked_rollup_merges_ontime_drops_late(spark, tmp_path):
     # never appears (no second emission for that window either)
     assert got[("conv-a", "2026-01-01 10:00:00")] == 3
     assert ("conv-b", "2026-01-01 12:00:00") in got
+
+
+def test_stream_dedup_matches_batch_dedup(spark, tmp_path):
+    """Streaming exact dedup keeps one row per distinct payload key and
+    agrees with the batch distinct on the same input — the shared
+    injective key makes the two modes interchangeable."""
+    from ds4sd_docling_tableformer_onnx_spark.functions.keys import payload_key_col
+    from ds4sd_docling_tableformer_onnx_spark.streaming.stream import (
+        stream_dedup_turns,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    df = generate_transcripts(spark, n_turns=300, n_convs=6, seed=33)
+    df.cache()
+    # split arrivals across two micro-batch files so cross-batch state
+    # (not just within-batch dropDuplicates) is exercised
+    df.where("turn_idx % 2 = 0").write.parquet(str(in_dir / "b1"))
+    df.where("turn_idx % 2 = 1").write.parquet(str(in_dir / "b2"))
+
+    deduped = stream_dedup_turns(spark, str(in_dir) + "/*")
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    streamed = spark.read.parquet(out_dir)
+    batch_keys = df.withColumn("payload_key", payload_key_col("text", "tool"))
+    n_distinct = batch_keys.select("payload_key").distinct().count()
+
+    assert streamed.count() == n_distinct
+    # every surviving key appears exactly once, and the key set matches
+    assert streamed.select("payload_key").distinct().count() == n_distinct
+    missing = (
+        batch_keys.select("payload_key")
+        .distinct()
+        .join(streamed.select("payload_key"), "payload_key", "left_anti")
+        .count()
+    )
+    assert missing == 0
+    df.unpersist()
