@@ -84,6 +84,8 @@ HEADLINE = [
     "decontaminate",
     "dup_span_stats",
     "unigram_logprob",
+    "negative_sample",
+    "bpe_pair_counts",
 ]
 
 

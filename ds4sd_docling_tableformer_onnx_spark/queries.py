@@ -2822,3 +2822,128 @@ _register(
     GROUP BY t.doc_id
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Negative sampling for retrieval training — k deterministic negatives
+# per query document.  Scale shape: the query set is BROADCAST (eval /
+# training-query sets are thousands of rows, not billions), so the
+# cross join is one narrow scan of the corpus computing |Q| cheap
+# hashes per doc — no shuffle, no |Q| x |D| materialization; the hash
+# threshold (expected ~64 survivors per query) then bounds the
+# per-query top-k window input.  For |Q| too large to broadcast, swap
+# the pair hash for a rendezvous scheme (bucket the pool by hash of
+# doc, route each query to k buckets) — same determinism, same oracle.
+# RNG-free: the md5 ranking makes the sample retry- and engine-stable
+# (same discipline as mixture_sample).
+# ---------------------------------------------------------------------------
+
+_NEG_K = 5
+_NEG_EXPECT = 64
+
+
+def q_negative_sample(spark, sf_dir):
+    """(q_id, neg_id, rank): 5 hash-ranked negatives per eval-slice
+    query doc (doc_id % 43 == 0) drawn from the rest of the corpus."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 43 == 0).select(
+        F.col("doc_id").alias("q_id")
+    )
+    pool = docs.where(F.col("doc_id") % 43 != 0).select(
+        F.col("doc_id").alias("neg_id")
+    )
+    n_pool = pool.count()
+    threshold = (4294967296 * _NEG_EXPECT) // n_pool
+
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("q_id"), F.col("neg_id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = (
+        F.broadcast(queries).crossJoin(pool)
+        .withColumn("u32", u32)
+        .where(F.col("u32") < threshold)
+    )
+    win = Window.partitionBy("q_id").orderBy("u32", "neg_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= _NEG_K)
+        .select("q_id", "neg_id", "rank")
+    )
+
+
+_register(
+    "negative_sample",
+    q_negative_sample,
+    f"""
+    WITH pool AS (
+        SELECT doc_id AS neg_id FROM documents WHERE doc_id % 43 <> 0
+    ), q AS (
+        SELECT doc_id AS q_id FROM documents WHERE doc_id % 43 = 0
+    ), cand AS (
+        SELECT q_id, neg_id,
+               CAST(('0x' || substr(md5(q_id || ':' || neg_id), 1, 8))::UBIGINT
+                    AS BIGINT) AS u32
+        FROM q CROSS JOIN pool
+    )
+    SELECT q_id, neg_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY u32, neg_id) AS rank
+    FROM cand
+    WHERE u32 < 4294967296 * {_NEG_EXPECT} // (SELECT count(*) FROM pool)
+    QUALIFY rank <= {_NEG_K}
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
+# training: count adjacent symbol pairs over the corpus and take the
+# most frequent merges.  At the character level the pair stream is
+# n_chars rows per doc; map-side partial aggregation compresses the
+# (very zipfy) stream before the one shuffle, and the top-20 is a
+# TakeOrdered, not a global sort.  Deterministic tie-break (count desc,
+# pair asc) keeps both engines aligned.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-20 adjacent character pairs (the first BPE merge
+    candidates) with exact corpus counts."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text") - 1),
+                lambda i: F.substr(F.col("text"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(_BPE_TOP)
+    )
+
+
+_register(
+    "bpe_pair_counts",
+    q_bpe_pair_counts,
+    f"""
+    SELECT substr(text, i, 2) AS pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents,
+         LATERAL (SELECT unnest(range(1, length(text))) AS i) t
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT {_BPE_TOP}
+    """,
+)

@@ -267,3 +267,14 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_negative_sample_broadcasts_query_side(spark):
+    """The query set broadcasts: one narrow corpus scan per the
+    rendezvous note — never a shuffled |Q| x |D| product."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["negative_sample"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
