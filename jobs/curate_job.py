@@ -15,10 +15,14 @@ queries.py at small scale):
 1. near-dup GROUPS: simhash signatures -> banded candidate pairs
    (hamming <= --hamming) -> connected components (hash-min label
    propagation) -> one canonical survivor per group (smallest doc_id);
-2. quality + language signals on survivors (narrow map stages);
-3. deterministic mixture sampling (md5-hash uniform per source —
+2. hygiene (optional): --eval-input drops survivors sharing any
+   word-8-gram with the benchmark table (broadcast-gram anti-join);
+   --max-dup-frac drops survivors above the duplicated-span-fraction
+   threshold;
+3. quality + language signals on survivors (narrow map stages);
+4. deterministic mixture sampling (md5-hash uniform per source —
    RNG-free, retry-stable);
-4. sequence packing: greedy (seq, offset) slots into --max-seq-len
+5. sequence packing: greedy (seq, offset) slots into --max-seq-len
    token sequences via two-phase prefix sums (per-range partials +
    driver offsets — no global window task).
 
@@ -43,12 +47,33 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def curate(spark, docs, max_seq_len: int = 2048, hamming: int = 3, pack_ranges: int = 16):
+def curate(
+    spark,
+    docs,
+    max_seq_len: int = 2048,
+    hamming: int = 3,
+    pack_ranges: int = 16,
+    eval_docs=None,
+    max_dup_frac: float | None = None,
+):
     """documents (doc_id, text, lang, source, ...) -> curated, packed
-    survivors.  Returns (result_df, stats_dict)."""
+    survivors.  Returns (result_df, stats_dict).
+
+    Optional hygiene stages between dedup and sampling:
+    - ``eval_docs``: drop survivors sharing any word-8-gram with this
+      benchmark table (operators/contamination.decontaminate — anti-
+      join against the broadcast eval gram set);
+    - ``max_dup_frac``: drop survivors whose duplicated-span fraction
+      (corpus doc-frequency >= 4 at word-8-gram granularity) exceeds
+      the threshold.
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from ds4sd_docling_tableformer_onnx_spark.operators.contamination import (
+        decontaminate,
+        duplicated_span_stats,
+    )
     from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
         simhash_candidates,
         simhash_column,
@@ -67,11 +92,27 @@ def curate(spark, docs, max_seq_len: int = 2048, hamming: int = 3, pack_ranges: 
         .where(F.col("doc_id") == F.col("group_id"))  # canonical = min id
     )
 
-    # 2. signals (narrow, shuffle-free)
+    # 2. hygiene: benchmark decontamination + duplicated-span filter
+    n_contaminated = n_repetitive = 0
+    if eval_docs is not None:
+        hits = decontaminate(survivors, eval_docs)
+        n_contaminated = hits.count()
+        survivors = survivors.join(hits.select("doc_id"), "doc_id", "left_anti")
+    if max_dup_frac is not None:
+        repetitive = duplicated_span_stats(docs).where(
+            F.col("dup_frac") > max_dup_frac
+        )
+        before = survivors.count()
+        survivors = survivors.join(
+            repetitive.select("doc_id"), "doc_id", "left_anti"
+        )
+        n_repetitive = before - survivors.count()
+
+    # 3. signals (narrow, shuffle-free)
     toks = F.size(F.split("text", " ", -1)).cast("long")
     survivors = survivors.withColumn("n_tokens", toks)
 
-    # 3. deterministic mixture sample: srcK keeps 1/2^(K%4)
+    # 4. deterministic mixture sample: srcK keeps 1/2^(K%4)
     u32 = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
@@ -83,7 +124,7 @@ def curate(spark, docs, max_seq_len: int = 2048, hamming: int = 3, pack_ranges: 
         "doc_id", "source", "lang", "n_tokens", "group_id", "group_size"
     )
 
-    # 4. two-phase sequence packing (scale shape: range-partition ->
+    # 5. two-phase sequence packing (scale shape: range-partition ->
     # per-range partials -> driver-side offsets over <= pack_ranges
     # rows -> per-range window).  No global window anywhere: ordering
     # comes from repartitionByRange (globally ordered, sampled splits
@@ -137,6 +178,8 @@ def curate(spark, docs, max_seq_len: int = 2048, hamming: int = 3, pack_ranges: 
     )
     stats = {
         "input_docs": n_input,
+        "contaminated_dropped": int(n_contaminated),
+        "repetitive_dropped": int(n_repetitive),
         "survivors_sampled": n_docs,
         "total_tokens": int(acc),
         "sequences": int(-(-acc // max_seq_len)) if acc else 0,
@@ -153,6 +196,15 @@ def main(argv=None):
     parser.add_argument("--hamming", type=int, default=3)
     parser.add_argument("--cores", type=int, default=None)
     parser.add_argument(
+        "--eval-input", default=None,
+        help="parquet path of a benchmark table (doc_id, text): drop "
+        "survivors sharing any word-8-gram with it",
+    )
+    parser.add_argument(
+        "--max-dup-frac", type=float, default=None,
+        help="drop survivors whose duplicated-span fraction exceeds this",
+    )
+    parser.add_argument(
         "--sf-dir", default=None,
         help="read documents from <sf-dir>/documents.parquet (smoke runs)",
     )
@@ -165,9 +217,18 @@ def main(argv=None):
     src = f"{args.sf_dir}/documents.parquet" if args.sf_dir else args.input
     docs = spark.read.parquet(src)
 
+    eval_docs = (
+        spark.read.parquet(args.eval_input) if args.eval_input else None
+    )
+
     t0 = time.perf_counter()
     packed, stats = curate(
-        spark, docs, max_seq_len=args.max_seq_len, hamming=args.hamming
+        spark,
+        docs,
+        max_seq_len=args.max_seq_len,
+        hamming=args.hamming,
+        eval_docs=eval_docs,
+        max_dup_frac=args.max_dup_frac,
     )
     packed.write.mode("overwrite").parquet(args.output)
     stats["wall_sec"] = round(time.perf_counter() - t0, 3)

@@ -63,3 +63,44 @@ def test_curate_deterministic(spark, docs):
     pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
     pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert pa.equals(pb)
+
+
+def test_curate_hygiene_stages(spark, docs):
+    """--eval-input and --max-dup-frac drop the right survivors: a
+    benchmark doc sharing a near-dup cluster's text knocks that
+    cluster's canonical survivor out; the dup-span filter removes
+    cluster survivors whose text is corpus-duplicated."""
+    from curate_job import curate
+
+    base, _ = curate(spark, docs, max_seq_len=64, hamming=3, pack_ranges=4)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+
+    # benchmark table = the verbatim text of doc 13 (a unique,
+    # >= 8-word doc, so it is its own canonical survivor and its grams
+    # exist; the 7-word cluster texts are below the 8-gram threshold)
+    doc13_text = "doc 13 " + " ".join(
+        f"tok{(13 * 7 + j) % 97}" for j in range(5 + 13 % 23)
+    )
+    eval_docs = spark.createDataFrame(
+        [("e0", doc13_text)], "doc_id string, text string"
+    )
+    cleaned, stats = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        eval_docs=eval_docs,
+    )
+    cleaned_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert stats["contaminated_dropped"] >= 1
+    if "13" in base_ids:  # contamination drop precedes mixture sampling
+        assert "13" not in cleaned_ids
+    assert cleaned_ids <= base_ids
+
+    # dup-span filter: every doc's tok stream is a window of the SAME
+    # cyclic sequence tok((7i+j) % 97), so many 8-gram windows recur in
+    # >= 4 docs — a strict threshold must drop some survivors
+    filtered, fstats = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        max_dup_frac=0.9,
+    )
+    filtered_ids = {r["doc_id"] for r in filtered.select("doc_id").collect()}
+    assert fstats["repetitive_dropped"] >= 1
+    assert filtered_ids < base_ids
