@@ -2947,3 +2947,64 @@ _register(
     LIMIT {_BPE_TOP}
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Table profiling — per-column exact stats (row count, nulls, exact
+# distinct, min/max), the data-quality precursor every ingestion
+# pipeline runs.  One two-stage aggregation per column (partial
+# map-side agg, no Expand from multi-count-distinct in one agg), tiny
+# union of 1-row results; min/max cast to string for a uniform schema.
+# At corpus scale exact distincts on high-cardinality columns would
+# swap for HLL sketches (approx_count_distinct) — kept exact here so
+# the oracle is exact.
+# ---------------------------------------------------------------------------
+
+
+def q_profile_table(spark, sf_dir):
+    """(col_name, n, nulls, n_distinct, min_s, max_s) per documents
+    column."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        parts.append(
+            docs.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("long").alias("n"),
+                (F.count("*") - F.count(c)).cast("long").alias("nulls"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_register(
+    "profile_table",
+    q_profile_table,
+    """
+    SELECT 'doc_id' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS nulls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_s,
+           CAST(max(doc_id) AS VARCHAR) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*), count(*) - count(text),
+           count(DISTINCT text), min(text), max(text) FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang),
+           count(DISTINCT lang), min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source), min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+           CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+)
