@@ -242,3 +242,91 @@ def test_stream_dedup_matches_batch_dedup(spark, tmp_path):
     )
     assert missing == 0
     df.unpersist()
+
+
+def test_stream_neardup_matches_batch_candidates(spark, tmp_path):
+    """Streaming simhash near-dup candidates == the batch
+    band-exclusion self-join output, row for row, with the corpus
+    split across micro-batches (cross-batch bucket state exercised)."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_column,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+    from ds4sd_docling_tableformer_onnx_spark.streaming.neardup import (
+        stream_neardup_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    batch = simhash_candidates(simhash_column(docs), id_col="doc_id")
+    expected = {
+        (r["id_a"], r["id_b"], r["hamming"]) for r in batch.collect()
+    }
+    release(batch)
+    assert expected  # the corpus has near-dup clusters; empty would be vacuous
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    docs.where("doc_id % 2 = 0").write.parquet(str(in_dir / "b1"))
+    docs.where("doc_id % 2 = 1").write.parquet(str(in_dir / "b2"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    query = (
+        stream_neardup_candidates(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    streamed = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == expected
+
+
+def test_stream_neardup_state_cap_bounds_and_counts(spark, tmp_path):
+    """An adversarial flood (identical docs -> one bucket) stays
+    bounded: stored rows never exceed max_state_rows, later arrivals
+    still emit pairs against the stored members, and drops are
+    counted, not silent."""
+    from ds4sd_docling_tableformer_onnx_spark.streaming.neardup import (
+        _make_update,
+    )
+
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists, self._v = True, v
+
+        @property
+        def get(self):
+            return self._v
+
+    update = _make_update(max_state_rows=5)
+    state = FakeState()
+    pdf = pd.DataFrame(
+        {"doc_id": range(20), "simhash": [7] * 20, "band": 0, "band_key": 7}
+    )
+    out = list(update((0, 7), [pdf], state))
+    ids, sigs, dropped = state.get
+    assert len(ids) == 5 and dropped == 15
+    pairs = pd.concat(out)
+    # stored members pair among themselves (C(5,2)) and each of the 15
+    # overflow arrivals pairs against the 5 stored rows
+    assert len(pairs) == 10 + 15 * 5
+    assert (pairs["hamming"] == 0).all()
