@@ -3008,3 +3008,49 @@ _register(
            CAST(max(n_chars) AS VARCHAR) FROM documents
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup candidates (§2.11) — the stateful streaming
+# operator value-checked against the SAME DuckDB oracle as the batch
+# path: streaming/neardup.py is constructed so its append-stream union
+# over band buckets equals the batch band-exclusion candidate set
+# exactly, so a stateful-streaming operator gets a full value oracle
+# instead of the weaker rows-only check.  The query lands the sf
+# documents as two parquet files, drains an availableNow stream over
+# them (maxFilesPerTrigger=1 forces cross-micro-batch state), and
+# returns the materialized result.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_neardup(spark, sf_dir):
+    """(id_a, id_b, hamming) simhash candidates computed by the
+    streaming per-bucket state operator."""
+    import tempfile
+
+    from .streaming.neardup import stream_neardup_candidates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    docs.where("doc_id % 2 = 0").write.parquet(f"{in_dir}/b1")
+    docs.where("doc_id % 2 = 1").write.parquet(f"{in_dir}/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    query = (
+        stream_neardup_candidates(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+_register("stream_neardup_pairs", q_stream_neardup, _SIMHASH_PAIRS_SQL)
