@@ -48,6 +48,10 @@ ONE_FILE_PER_TASK = {
 # interleaved [N, 4N] scaling visits (min-wall per level; see the
 # scaling-evidence comment in main())
 SCALING_VISITS = 5
+# per-visit contention gate: healthy windows on this box probe at
+# ~1.0-1.15 (turbo droop only); noisy-neighbor episodes probe >1.3 and
+# bias the paired efficiency DOWN (the 16-wide level absorbs the steal)
+VISIT_PROBE_MAX = 1.25
 
 # headline query subset (one per operator family; the full 42-oracle set
 # runs in the correctness gate, not here)
@@ -86,6 +90,7 @@ HEADLINE = [
     "unigram_logprob",
     "negative_sample",
     "bpe_pair_counts",
+    "asof_join",
 ]
 
 
@@ -279,8 +284,17 @@ def main():
     # on this box, so ~0.87 is the best any CPU-bound job can show
     scaling["hardware_ceiling_4_to_16"] = round(_cpu_ceiling(4, 16), 3)
     walls = {c: [] for c in (4, 16)}
+    visit_probe = []
     n_scaling = None
     for _visit in range(SCALING_VISITS):
+        # per-visit contention probe: neighbor load hits the 16-wide run
+        # harder than the 4-wide run (fewer spare cores absorb the
+        # steal), so contended visits BIAS the paired ratio downward
+        # instead of cancelling — they must be identifiable, not
+        # averaged in.  A probe index > VISIT_PROBE_MAX marks the visit
+        # contended; contended visits are excluded from the headline
+        # median (recorded, never silently dropped).
+        visit_probe.append(_contention_probe(8)["index"])
         for cores in (4, 16):
             s = build_session(app_name=f"bench-{cores}", cores=cores)
             s.sparkContext.setLogLevel("ERROR")
@@ -304,7 +318,11 @@ def main():
         for w4, w16 in zip(walls[4], walls[16])
     ]
     scaling["efficiency_per_visit"] = per_visit
-    scaling["efficiency_N_to_4N"] = sorted(per_visit)[len(per_visit) // 2]
+    scaling["visit_probe_index"] = [round(p, 3) for p in visit_probe]
+    clean = [r for r, p in zip(per_visit, visit_probe) if p <= VISIT_PROBE_MAX]
+    scaling["contended_visits_excluded"] = len(per_visit) - len(clean)
+    pool = clean if clean else per_visit  # all-contended: report, flagged
+    scaling["efficiency_N_to_4N"] = sorted(pool)[len(pool) // 2]
 
     result = {
         "metric": "extraction turns/sec + headline query wall time",

@@ -3054,3 +3054,80 @@ def q_stream_neardup(spark, sf_dir):
 
 
 _register("stream_neardup_pairs", q_stream_neardup, _SIMHASH_PAIRS_SQL)
+
+# ---------------------------------------------------------------------------
+# As-of join — the classic custom operator Spark lacks natively: for
+# each probe event (errors), the most recent reference event (clicks)
+# of the same user at-or-before its timestamp.  Scale shape: tag both
+# streams, union, ONE window per user ordered by (ts, tag, id) with
+# last(..., ignorenulls) carrying the reference forward — a single
+# shuffle on user_id and a bounded per-user sort, never a per-probe
+# subquery or a range self-join.  The oracle is DuckDB's NATIVE
+# ``ASOF LEFT JOIN`` — an independent implementation of the same
+# semantics, not a re-expression of the window trick.  Lag is exact
+# integer microseconds (timestampdiff / date_diff on the NTZ
+# timestamps) so no float, truncation, or timezone interpretation can
+# enter the hash.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """(event_id, user_id, asof_event_id, asof_value, lag_us): each
+    error event joined as-of to the latest same-user click."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    probes = events.where(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("bigint").alias("ref_event_id"),
+        F.lit(None).cast("double").alias("ref_value"),
+    )
+    refs = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        "event_id",
+        F.col("event_id").alias("ref_event_id"),
+        F.col("value").alias("ref_value"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = probes.unionByName(refs).select(
+        "*",
+        F.last("ref_event_id", ignorenulls=True).over(win).alias("asof_event_id"),
+        F.last("ref_value", ignorenulls=True).over(win).alias("asof_value"),
+        F.last(F.when(F.col("is_probe") == 0, F.col("ts")), ignorenulls=True)
+        .over(win)
+        .alias("asof_ts"),
+    )
+    # lag via timestampdiff, not epoch arithmetic: ts is TIMESTAMP_NTZ,
+    # so no timezone interpretation may enter the value
+    return tagged.where(F.col("is_probe") == 1).select(
+        "event_id",
+        "user_id",
+        "asof_event_id",
+        "asof_value",
+        F.expr("timestampdiff(MICROSECOND, asof_ts, ts)").alias("lag_us"),
+    )
+
+
+_register(
+    "asof_join",
+    q_asof_join,
+    """
+    SELECT p.event_id, p.user_id,
+           r.event_id AS asof_event_id,
+           r.value AS asof_value,
+           date_diff('microseconds', r.ts, p.ts) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON p.user_id = r.user_id AND r.ts <= p.ts
+    """,
+)
