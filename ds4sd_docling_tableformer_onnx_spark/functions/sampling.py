@@ -1,0 +1,30 @@
+"""The ONE deterministic mixture-sampling predicate.
+
+Shared by the oracle query (queries.py: ``mixture_sample``) and the
+curation job (jobs/curate_job.py) so the sampler's determinism
+discipline — md5-hash uniform, INTEGER thresholds, RNG-free and
+therefore retry/engine-stable (CLAUDE.md invariant) — has a single
+definition that cannot drift.
+
+Rule: source ``srcK`` keeps a document at rate 1 / 2^(K mod 4),
+decided by the first 32 bits of md5(doc_id) against an integer
+threshold (2^32 >> (K mod 4)).  The DuckDB oracle replicates the same
+arithmetic verbatim.
+"""
+
+from __future__ import annotations
+
+
+def mixture_keep(id_col: str = "doc_id", source_col: str = "source"):
+    """Boolean Column: does this (id, source) row survive the mixture
+    sample?"""
+    from pyspark.sql import functions as F
+
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    threshold = F.expr(
+        "shiftright(CAST(4294967296 AS BIGINT), "
+        f"CAST(regexp_extract({source_col}, 'src([0-9]+)', 1) AS INT) % 4)"
+    )
+    return u32 < threshold

@@ -157,7 +157,16 @@ def _detection_batches(batches: Iterator, predict_fn):
         for (h, w), (idxs, tensors) in groups.items():
             if is_batched and len(tensors) > 1:
                 try:
-                    outs = predict(np.stack(tensors), w, h)
+                    outs = list(predict(np.stack(tensors), w, h))
+                    # a model binding returning fewer outputs than the
+                    # stacked batch would leave results[i] = None and
+                    # crash the emit loop's unpack — treat a short/long
+                    # return as a failed stacked call and fall back
+                    if len(outs) != len(idxs):
+                        raise RuntimeError(
+                            f"batched predict returned {len(outs)} outputs "
+                            f"for {len(idxs)} inputs"
+                        )
                     for i, out in zip(idxs, outs):
                         results[i] = out
                     continue

@@ -26,15 +26,28 @@ from __future__ import annotations
 CHECKPOINT_KEYS = ("conv_id", "turn_idx", "payload_sha256")
 
 
+# dotted relative filenames that must never be read as catalog tables
+_FILE_EXTENSIONS = frozenset(
+    "parquet orc avro json csv tsv txt dat log tmp bak zip gz out dir".split()
+)
+
+
 def is_table_target(target: str) -> bool:
     """``catalog.db.table`` identifier (Iceberg path) vs filesystem
-    path (parquet path).  Any path separator or URI scheme means path."""
-    return (
-        "/" not in target
-        and "\\" not in target
-        and ":" not in target
-        and "." in target
-    )
+    path (parquet path).  Any path separator or URI scheme means path;
+    a separator-free dotted name is a table only when every segment is
+    a SQL identifier and the last is not a known file extension (so
+    ``ckpt.parquet`` stays a path).  The heuristic cannot distinguish
+    every ``name.ext`` from ``db.table`` — prefix ambiguous relative
+    paths with ``./`` to force path semantics."""
+    import re
+
+    if "/" in target or "\\" in target or ":" in target or "." not in target:
+        return False
+    segments = target.split(".")
+    if segments[-1].lower() in _FILE_EXTENSIONS:
+        return False
+    return all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s) for s in segments)
 
 
 def _require_catalog(spark, target: str):

@@ -2557,19 +2557,13 @@ _register(
 
 def q_mixture_sample(spark, sf_dir):
     """Hash-deterministic stratified sample: source srcK keeps docs at
-    rate 1 / 2^(K mod 4).  Narrow map + filter, no shuffle."""
-    from pyspark.sql import functions as F
+    rate 1 / 2^(K mod 4).  Narrow map + filter, no shuffle; the keep
+    predicate is the ONE shared definition (functions/sampling.py),
+    also used by jobs/curate_job.py."""
+    from .functions.sampling import mixture_keep
 
     docs = _read(spark, sf_dir, "documents")
-    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    # rate 1/2^(idx%4): threshold = 2^32 >> (idx%4)
-    threshold = F.expr(
-        "shiftright(CAST(4294967296 AS BIGINT), "
-        "CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4)"
-    )
-    return docs.where(u32 < threshold).select("doc_id", "source")
+    return docs.where(mixture_keep("doc_id", "source")).select("doc_id", "source")
 
 
 _register(
@@ -3122,6 +3116,11 @@ _register(
     "asof_join",
     q_asof_join,
     """
+    -- tie assumption: with duplicate (user_id, ts) click rows DuckDB's
+    -- ASOF JOIN picks an arbitrary one while the Spark window picks the
+    -- max event_id deterministically; the events fixtures have zero
+    -- duplicate (user_id, ts) clicks at every sf (verified), same class
+    -- of symmetric-input guard as the simhash ASCII-whitespace note
     SELECT p.event_id, p.user_id,
            r.event_id AS asof_event_id,
            r.value AS asof_value,

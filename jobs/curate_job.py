@@ -78,19 +78,25 @@ def curate(
         simhash_candidates,
         simhash_column,
     )
+    from ds4sd_docling_tableformer_onnx_spark.functions.sampling import mixture_keep
     from ds4sd_docling_tableformer_onnx_spark.operators.graph import dedup_groups
     from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
 
     n_input = docs.count()
 
-    # 1. near-dup groups -> canonical survivor per group
+    # 1. near-dup groups -> canonical survivor per group.  survivors is
+    # persisted: the hygiene counts, the sampling filter, and the
+    # packing phases below are ~5 downstream actions that would
+    # otherwise each re-run the gram joins and the group join.
     cand = simhash_candidates(simhash_column(docs), id_col="doc_id")
     edges = cand.where(F.col("hamming") <= hamming)
     groups = dedup_groups(docs, edges, id_col="doc_id")
-    survivors = (
+    survivors_base = (
         docs.join(groups, "doc_id")
         .where(F.col("doc_id") == F.col("group_id"))  # canonical = min id
+        .persist()
     )
+    survivors = survivors_base
 
     # 2. hygiene: benchmark decontamination + duplicated-span filter
     n_contaminated = n_repetitive = 0
@@ -112,15 +118,9 @@ def curate(
     toks = F.size(F.split("text", " ", -1)).cast("long")
     survivors = survivors.withColumn("n_tokens", toks)
 
-    # 4. deterministic mixture sample: srcK keeps 1/2^(K%4)
-    u32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    threshold = F.expr(
-        "shiftright(CAST(4294967296 AS BIGINT), "
-        "CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 4)"
-    )
-    sampled = survivors.where(u32 < threshold).select(
+    # 4. deterministic mixture sample: srcK keeps 1/2^(K%4) — the ONE
+    # shared predicate (functions/sampling.py, same as the oracle query)
+    sampled = survivors.where(mixture_keep("doc_id", "source")).select(
         "doc_id", "source", "lang", "n_tokens", "group_id", "group_size"
     )
 
@@ -130,10 +130,18 @@ def curate(
     # comes from repartitionByRange (globally ordered, sampled splits
     # that stay balanced even after dedup+sampling carved holes in the
     # id space), so each window is bounded by one range partition.
+    # localCheckpoint (eager) FREEZES the range assignment: the range
+    # boundaries come from a sampling pass whose outcome is not
+    # guaranteed stable across jobs, and the totals collect and the
+    # final write are separate jobs — without the checkpoint a
+    # boundary doc could change partitions between them and every
+    # offset in its range would silently shift.  On a cluster use
+    # checkpoint()/a staging table, same call site.
     n_docs = sampled.count()
     ranked = (
         sampled.repartitionByRange(max(1, pack_ranges), "doc_id")
         .withColumn("rng", F.spark_partition_id().cast("long"))
+        .localCheckpoint()
     )
     totals = {
         r["rng"]: r["tot"]
@@ -185,6 +193,9 @@ def curate(
         "sequences": int(-(-acc // max_seq_len)) if acc else 0,
     }
     release(cand)
+    # safe: `packed` reads from the eager localCheckpoint of `ranked`,
+    # so it no longer depends on the cached survivor table
+    survivors_base.unpersist()
     return packed, stats
 
 

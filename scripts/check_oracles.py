@@ -37,15 +37,21 @@ def main(sf_dir="/root/testdata/sf0.01", *names):
     selected = names or [n for n in QUERIES if n in ORACLES]
     failures = 0
     for name in selected:
+        frame = None
         try:
             frame = QUERIES[name](spark, sf_dir)
             spark_df = frame.toPandas()
-            release(frame)  # free operator-internal persisted inputs
             duck_df = con.execute(ORACLES[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: {type(exc).__name__}: {exc}")
             failures += 1
             continue
+        finally:
+            # free operator-internal persisted inputs even when the
+            # query or oracle raised — a leaked cache would pin
+            # storage for the rest of the sweep
+            if frame is not None:
+                release(frame)
         verdicts = []
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             verdicts.append(f"schema {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}")

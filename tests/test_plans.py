@@ -189,6 +189,11 @@ def test_checkpoint_target_dispatch():
     assert not is_table_target("file:/tmp/ckpt")
     assert not is_table_target("s3a://bucket/ckpt")
     assert not is_table_target("plainname")  # no dot: not a table ident
+    # dotted relative filenames stay paths (extension denylist +
+    # identifier-segment rule)
+    assert not is_table_target("ckpt.parquet")
+    assert not is_table_target("dump.json.gz")
+    assert not is_table_target("out.2024")  # segment not an identifier
 
 
 def test_iceberg_gate_raises_cleanly(spark):
