@@ -37,30 +37,15 @@ from __future__ import annotations
 
 BAND_BITS = 16
 N_BANDS = 4
-_MASK64 = (1 << 64) - 1
 _BAND_MASK = (1 << BAND_BITS) - 1
 
 OUTPUT_SCHEMA = "id_a bigint, id_b bigint, hamming bigint"
 STATE_SCHEMA = "ids array<bigint>, sigs array<bigint>, dropped bigint"
 
 
-def _bands(sig: int) -> list[int]:
-    u = sig & _MASK64
-    return [(u >> (BAND_BITS * i)) & _BAND_MASK for i in range(N_BANDS)]
-
-
-def _first_shared_band(sig_a: int, sig_b: int) -> int:
-    """Index of the first 16-bit band where the signatures agree, or
-    -1; mirrors the batch band-exclusion join conditions."""
-    ba, bb = _bands(sig_a), _bands(sig_b)
-    for i in range(N_BANDS):
-        if ba[i] == bb[i]:
-            return i
-    return -1
-
-
 def _make_update(max_state_rows: int):
     def _update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         band_idx = int(key[0])
@@ -72,31 +57,73 @@ def _make_update(max_state_rows: int):
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values("doc_id")
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_h: list[int] = []
+
+        # vectorized per arrival: the stored bucket (state + earlier
+        # rows of this batch) lives in geometric-growth numpy buffers;
+        # each incoming doc does ONE xor / band-compare / popcount pass
+        # over the buffer instead of a Python pair loop — bounded work
+        # even when a flood drives the bucket to max_state_rows.
+        size = len(ids)
+        cap = max(16, 1 << (max(size, 1) - 1).bit_length())
+        buf_ids = np.zeros(cap, dtype=np.int64)
+        buf_sigs = np.zeros(cap, dtype=np.uint64)
+        buf_ids[:size] = ids
+        buf_sigs[:size] = np.array(sigs, dtype=np.int64).view(np.uint64)
+
+        out_a: list = []
+        out_b: list = []
+        out_h: list = []
         for doc_id, sig in zip(
-            rows["doc_id"].astype("int64"), rows["simhash"].astype("int64")
+            rows["doc_id"].to_numpy(np.int64), rows["simhash"].to_numpy(np.int64)
         ):
-            doc_id, sig = int(doc_id), int(sig)
-            for other_id, other_sig in zip(ids, sigs):
-                if other_id == doc_id:
-                    continue
-                if _first_shared_band(sig, other_sig) != band_idx:
-                    continue  # this pair belongs to an earlier band's group
-                a, b = sorted((doc_id, other_id))
-                out_a.append(a)
-                out_b.append(b)
-                out_h.append(bin((sig ^ other_sig) & _MASK64).count("1"))
-            if len(ids) < max_state_rows:
-                ids.append(doc_id)
-                sigs.append(sig)
+            sig_u = np.uint64(np.int64(sig).view(np.uint64))
+            if size:
+                diff = buf_sigs[:size] ^ sig_u
+                # first shared 16-bit band (descending writes: lowest
+                # band index wins), mirroring the batch band-exclusion
+                first = np.full(size, -1, dtype=np.int64)
+                for i in range(N_BANDS - 1, -1, -1):
+                    eq = (
+                        (diff >> np.uint64(BAND_BITS * i)) & np.uint64(_BAND_MASK)
+                    ) == 0
+                    first[eq] = i
+                mask = (first == band_idx) & (buf_ids[:size] != doc_id)
+                if mask.any():
+                    others = buf_ids[:size][mask]
+                    hams = (
+                        np.unpackbits(
+                            diff[mask][:, None].view(np.uint8), axis=1
+                        ).sum(axis=1)
+                    )
+                    out_a.extend(np.minimum(others, doc_id).tolist())
+                    out_b.extend(np.maximum(others, doc_id).tolist())
+                    out_h.extend(hams.tolist())
+            if size < max_state_rows:
+                if size == cap:
+                    cap *= 2
+                    buf_ids = np.resize(buf_ids, cap)
+                    buf_sigs = np.resize(buf_sigs, cap)
+                buf_ids[size] = doc_id
+                buf_sigs[size] = sig_u
+                size += 1
             else:
                 dropped += 1
 
-        state.update((ids, sigs, dropped))
+        state.update(
+            (
+                buf_ids[:size].tolist(),
+                buf_sigs[:size].view(np.int64).tolist(),
+                dropped,
+            )
+        )
         if out_a:
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+            yield pd.DataFrame(
+                {
+                    "id_a": np.array(out_a, dtype=np.int64),
+                    "id_b": np.array(out_b, dtype=np.int64),
+                    "hamming": np.array(out_h, dtype=np.int64),
+                }
+            )
 
     return _update
 
