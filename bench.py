@@ -53,7 +53,7 @@ SCALING_VISITS = 5
 # bias the paired efficiency DOWN (the 16-wide level absorbs the steal)
 VISIT_PROBE_MAX = 1.25
 
-# headline query subset (one per operator family; the full 58-oracle set
+# headline query subset (one per operator family; the full 61-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
     "dense_rank_reindex",
@@ -91,6 +91,9 @@ HEADLINE = [
     "negative_sample",
     "bpe_pair_counts",
     "asof_join",
+    "rollup_revenue",
+    "pivot_status_by_segment",
+    "json_extract_rollup",
 ]
 
 

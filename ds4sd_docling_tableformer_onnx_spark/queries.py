@@ -3130,3 +3130,112 @@ _register(
       ON p.user_id = r.user_id AND r.ts <= p.ts
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Multi-level aggregation surface — ROLLUP (hierarchical subtotals +
+# grand total in ONE shuffle via Expand, not three unioned scans),
+# PIVOT (wide conditional aggregation with a pinned value list so the
+# schema is static — never the collect-distinct pivot), and JSON
+# scalar extraction (get_json_object stays in codegen; no UDF).
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Revenue by (mktsegment, orderstatus) with ROLLUP subtotals and
+    grand total; NULL grouping keys mark the subtotal levels exactly as
+    in ANSI SQL."""
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    return (
+        joined.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select("c_mktsegment", "o_orderstatus", "n_orders", "revenue")
+    )
+
+
+_register(
+    "rollup_revenue",
+    q_rollup_revenue,
+    """
+    SELECT c_mktsegment, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+    """,
+)
+
+
+def q_pivot_status(spark, sf_dir):
+    """Order counts per market segment pivoted wide over the (pinned)
+    status domain F/O/P."""
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    )
+    wide = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"cnt_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+_register(
+    "pivot_status_by_segment",
+    q_pivot_status,
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS cnt_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON scalar extraction over events.props ({"k": N}): per
+    event_type count + exact integer sum of the extracted field."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(k).alias("k_sum"),
+    )
+
+
+_register(
+    "json_extract_rollup",
+    q_json_extract,
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum
+    FROM events
+    GROUP BY event_type
+    """,
+)
