@@ -3239,3 +3239,54 @@ _register(
     GROUP BY event_type
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Relational set operations — INTERSECT / EXCEPT at the table level
+# (the per-row array set algebra SO1-SO5 is covered by
+# set_union_adjacent/adjacent_set_overlap; this is the distributed
+# counterpart: both sides reduce to distinct key sets in one partial
+# agg, then a single equi-shuffle resolves membership).
+# ---------------------------------------------------------------------------
+
+
+def q_set_ops_nations(spark, sf_dir):
+    """Nation keys partitioned by customer/supplier presence: one row
+    per nation with its membership class (both / customers_only /
+    suppliers_only), built from INTERSECT and EXCEPT."""
+    from pyspark.sql import functions as F
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    both = cust.intersect(supp).withColumn("membership", F.lit("both"))
+    c_only = cust.subtract(supp).withColumn("membership", F.lit("customers_only"))
+    s_only = supp.subtract(cust).withColumn("membership", F.lit("suppliers_only"))
+    return both.unionByName(c_only).unionByName(s_only)
+
+
+_register(
+    "set_ops_nations",
+    q_set_ops_nations,
+    """
+    SELECT nationkey, 'both' AS membership FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'customers_only' FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        EXCEPT
+        SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    )
+    UNION ALL
+    SELECT nationkey, 'suppliers_only' FROM (
+        SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        EXCEPT
+        SELECT CAST(c_nationkey AS BIGINT) FROM customer
+    )
+    """,
+)
