@@ -3290,3 +3290,72 @@ _register(
     )
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup — time-bucketed downsampling (the continuous-
+# aggregate / time_bucket pattern): events collapse into per-hour
+# per-type buckets in ONE partial-aggregated shuffle keyed on
+# (bucket, type).  At corpus scale this is the materialized rollup an
+# Iceberg table would partition by day and cluster by type; the query
+# shape is identical.
+# ---------------------------------------------------------------------------
+
+
+def q_hypertable_rollup(spark, sf_dir):
+    """(bucket_hour, event_type, n_events, sum_value, avg_value) —
+    hourly downsample of the events hypertable."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            # string bucket key: pandas surfaces Spark timestamps as
+            # ns and DuckDB's as us, so a raw timestamp column can
+            # never dtype-match in the driver compare
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00")
+            .alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            # exact integer cents: value is a 2-dp measure, so the
+            # bucket sum is an integer — no float summation order, no
+            # rounding-boundary ties (one bucket at sf0.1 landed
+            # within 1e-12 of a 4-dp boundary with naive avg())
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("_cents"),
+        )
+        .select(
+            "bucket_hour",
+            "event_type",
+            "n_events",
+            (F.col("_cents") / 100.0).alias("sum_value"),
+            # UNROUNDED on purpose: the operands are exact integers, so
+            # both engines execute the identical IEEE divisions and the
+            # doubles match bit-for-bit — while round(x, 4) does NOT
+            # match across engines here, because cents/100/n lands
+            # exactly on 4-dp tie points (e.g. 65.99125) and Spark
+            # (BigDecimal HALF_UP on the shortest repr) and DuckDB
+            # (binary) break ties differently
+            (F.col("_cents") / 100.0 / F.col("n_events")).alias("avg_value"),
+        )
+    )
+
+
+_register(
+    "hypertable_rollup",
+    q_hypertable_rollup,
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket_hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value,
+           -- unrounded: exact-integer operands -> bit-identical IEEE
+           -- division in both engines (round(,4) would tie-break
+           -- differently on the exact 4-dp tie points this grid hits)
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 / 100.0 / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
