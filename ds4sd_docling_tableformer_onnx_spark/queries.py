@@ -3359,3 +3359,102 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates — Pearson correlation, sample covariance and
+# stddev per group (single-pass co-moment aggregation in both engines;
+# both inputs are exact machine numbers, results rounded to 6 dp to
+# absorb accumulation-order ulps).
+# ---------------------------------------------------------------------------
+
+
+def q_stats_by_type(spark, sf_dir):
+    """(event_type, n, corr_vi, covar_vi, stddev_v): value vs event_id
+    co-statistics per event type."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    i = F.col("event_id").cast("double")
+    return events.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.corr("value", i), 6).alias("corr_vi"),
+        F.round(F.covar_samp("value", i), 6).alias("covar_vi"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_v"),
+    )
+
+
+_register(
+    "stats_by_type",
+    q_stats_by_type,
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(value, CAST(event_id AS DOUBLE)), 6) AS corr_vi,
+           round(covar_samp(value, CAST(event_id AS DOUBLE)), 6) AS covar_vi,
+           round(stddev_samp(value), 6) AS stddev_v
+    FROM events
+    GROUP BY event_type
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Native session windows — Spark's session_window operator (dynamic-
+# gap event-time sessions, the same operator a streaming query would
+# use) vs an independent oracle that re-derives sessions from first
+# principles (lag + gap-break cumulative sum).  Windows are half-open:
+# an event exactly gap after its predecessor starts a NEW session, so
+# the oracle's merge condition is strict <.  Timestamps are emitted as
+# microsecond strings (engine pandas dtypes for raw timestamps differ:
+# ns vs us).
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = "10 minutes"
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_session_window(spark, sf_dir):
+    """(user_id, session_start, session_end, n_events) via the native
+    session_window aggregation, 10-minute gap."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", _SESSION_GAP).alias("sw")
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT_SPARK).alias("session_start"),
+            F.date_format("sw.end", _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_register(
+    "session_window_counts",
+    q_session_window,
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         < INTERVAL 10 MINUTE
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 10 MINUTE, '{_TS_FMT_DUCK}')
+               AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
