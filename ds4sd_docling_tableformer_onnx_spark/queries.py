@@ -3458,3 +3458,61 @@ _register(
     GROUP BY user_id, sid
     """,
 )
+
+# ---------------------------------------------------------------------------
+# HLL sketch with an in-query verdict — approx_count_distinct is the
+# 100-TB path for profile_table's exact distincts; its estimate is not
+# replicable in DuckDB (different sketch), so the oracle checks the
+# exact count and a VERDICT the query itself asserts: the estimate
+# must land within the configured relative error (rsd=0.02 -> HLL
+# guarantees ~2% standard deviation; 10% is a conservative pass bar).
+# Same oracle pattern as ivf_ann_topk's recall verdict.
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct(spark, sf_dir):
+    """(col_name, exact_distinct, within_tolerance) for the documents
+    join keys; the HLL estimate itself stays out of the hash, its
+    ACCURACY is what gets value-checked."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = []
+    for c in ["doc_id", "text", "lang", "source"]:
+        parts.append(
+            docs.agg(
+                F.lit(c).alias("col_name"),
+                F.countDistinct(c).cast("long").alias("exact_distinct"),
+                (
+                    F.abs(
+                        F.approx_count_distinct(c, rsd=0.02)
+                        - F.countDistinct(c)
+                    )
+                    <= F.greatest(
+                        F.round(F.countDistinct(c) * 0.10, 0).cast("long"),
+                        F.lit(1),
+                    )
+                ).alias("within_tolerance"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_register(
+    "approx_distinct_verdict",
+    q_approx_distinct,
+    """
+    SELECT 'doc_id' AS col_name,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_tolerance
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(DISTINCT text), TRUE FROM documents
+    UNION ALL
+    SELECT 'lang', count(DISTINCT lang), TRUE FROM documents
+    UNION ALL
+    SELECT 'source', count(DISTINCT source), TRUE FROM documents
+    """,
+)
