@@ -330,9 +330,11 @@ def main():
     scaling["contended_visits_excluded"] = len(per_visit) - len(clean)
     pool = clean if clean else per_visit  # all-contended: report, flagged
     scaling["efficiency_N_to_4N"] = sorted(pool)[len(pool) // 2]
-    # supplementary: contention/noise only ever LOWERS a paired ratio
-    # below the engine's true efficiency, so the best visit is the
-    # least-biased single sample (reported alongside, not the headline)
+    # supplementary data point: noise usually lowers a paired ratio
+    # (the 16-wide level is more steal-sensitive) but can also inflate
+    # one when the 4-wide run is the one hit (a >1.0 visit ratio has
+    # been observed), so the gated MEDIAN above is the headline and the
+    # best visit is reported as data only
     scaling["efficiency_best_visit"] = max(per_visit)
 
     result = {
