@@ -53,7 +53,7 @@ SCALING_VISITS = 5
 # bias the paired efficiency DOWN (the 16-wide level absorbs the steal)
 VISIT_PROBE_MAX = 1.25
 
-# headline query subset (one per operator family; the full 66-oracle set
+# headline query subset (one per operator family; the full 67-oracle set
 # runs in the correctness gate, not here)
 HEADLINE = [
     "dense_rank_reindex",

@@ -111,3 +111,50 @@ def dedup_groups(ids_df, edges_df, id_col: str = "doc_id", src: str = "id_a", ds
         F.count("*").cast("long").alias("group_size")
     )
     return labeled.join(sizes, "group_id").select(id_col, "group_id", "group_size")
+
+
+def pagerank(edges_df, src: str = "src", dst: str = "dst",
+             iterations: int = 5, damping: float = 0.85):
+    """Fixed-iteration PageRank over an undirected edge list:
+    ``(id, rank)`` after ``iterations`` synchronous updates of
+    r' = (1-d)/N + d * sum_in(r_j / deg_j), starting uniform.
+
+    Scale shape mirrors ``connected_components``: the symmetrized edge
+    table and the rank table are both keyed on node id, every
+    iteration is one join + one aggregation (AQE-skew-safe), and each
+    iteration ``localCheckpoint``s so the plan does not grow with the
+    iteration count.  The symmetric graph has no dangling nodes (every
+    endpoint has degree >= 1), so no dangling-mass correction is
+    needed.  Fixed iteration count (not convergence detection) keeps
+    the result a pure function of the input — exactly reproducible by
+    the unrolled-CTE SQL oracle.
+    """
+    from pyspark.sql import functions as F
+
+    fwd = edges_df.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    rev = edges_df.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    edges = fwd.union(rev).where(F.col("s") != F.col("d")).distinct()
+    edges = edges.localCheckpoint()
+
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    n = edges.select("s").distinct().count()
+    base = (1.0 - damping) / n
+
+    ranks = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("r", F.lit(1.0 / n))
+        .localCheckpoint()
+    )
+    contrib_edges = edges.join(deg, "s").localCheckpoint()
+    for _ in range(iterations):
+        ranks = (
+            contrib_edges.join(ranks, contrib_edges["s"] == ranks["id"])
+            .groupBy("d")
+            .agg(
+                (F.lit(base) + F.lit(damping) * F.sum(F.col("r") / F.col("deg"))).alias("r")
+            )
+            .select(F.col("d").alias("id"), "r")
+            .localCheckpoint()
+        )
+    return ranks

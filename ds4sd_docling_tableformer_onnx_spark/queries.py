@@ -3516,3 +3516,67 @@ _register(
     SELECT 'source', count(DISTINCT source), TRUE FROM documents
     """,
 )
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph — a second iterative DataFrame
+# algorithm beside connected components: 5 synchronous damped updates
+# from a uniform start (fixed iteration count, so the result is a pure
+# function of the input and the unrolled-CTE oracle reproduces it
+# exactly; ranks rounded to 10 dp — values are O(1/N), accumulation
+# noise O(1e-17)).
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 5
+_PR_DAMP = 0.85
+
+
+def q_pagerank(spark, sf_dir):
+    """(id, rank) after 5 PageRank iterations on the hamming<=3
+    simhash candidate graph."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .operators.graph import pagerank
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = simhash_candidates(simhash_column(docs))
+    edges = cand.where(F.col("hamming") <= 3)
+    ranks = pagerank(
+        edges, src="id_a", dst="id_b", iterations=_PR_ITER, damping=_PR_DAMP
+    ).select("id", F.round("r", 10).alias("rank"))
+    return adopt(ranks, *cached_inputs(cand))
+
+
+def _pagerank_oracle_sql() -> str:
+    iters = "".join(
+        f""", pr{k} AS (
+        SELECT e.d AS id,
+               (1 - {_PR_DAMP}) / (SELECT cnt FROM n)
+               + {_PR_DAMP} * sum(p.r / dg.deg) AS r
+        FROM pr{k - 1} p
+        JOIN edges e ON e.s = p.id
+        JOIN deg dg ON dg.s = p.id
+        GROUP BY e.d
+    )"""
+        for k in range(1, _PR_ITER + 1)
+    )
+    return f"""
+    WITH pairs AS (
+        SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_SQL}) WHERE hamming <= 3
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b AS s, id_a AS d FROM pairs
+    ), deg AS (
+        SELECT s, count(*) AS deg FROM edges GROUP BY s
+    ), n AS (
+        SELECT count(DISTINCT s) AS cnt FROM edges
+    ), pr0 AS (
+        SELECT DISTINCT s AS id, 1.0 / (SELECT cnt FROM n) AS r FROM edges
+    ){iters}
+    SELECT id, round(r, 10) AS rank FROM pr{_PR_ITER}
+    """
+
+
+_register("pagerank_neardup", q_pagerank, _pagerank_oracle_sql())

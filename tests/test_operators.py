@@ -371,3 +371,35 @@ def test_batch_topk_equals_exact(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
     assert again == exact
+
+
+def test_pagerank_matches_python_reference(spark):
+    """pagerank on a small asymmetric graph equals a plain-Python
+    implementation of the same fixed-iteration update, and the total
+    rank mass is conserved (no dangling nodes in a symmetric graph)."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.graph import pagerank
+
+    # path 1-2-3 plus a triangle 4-5-6 bridged at 3-4
+    raw = [(1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r["id"]: r["r"]
+        for r in pagerank(edges, iterations=5, damping=0.85).collect()
+    }
+
+    # reference: same synchronous update in pure Python
+    adj = {}
+    for a, b in raw:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    r = {v: 1.0 / n for v in adj}
+    for _ in range(5):
+        r = {
+            v: (1 - 0.85) / n + 0.85 * sum(r[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
