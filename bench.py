@@ -334,8 +334,9 @@ def main():
     # (the 16-wide level is more steal-sensitive) but can also inflate
     # one when the 4-wide run is the one hit (a >1.0 visit ratio has
     # been observed), so the gated MEDIAN above is the headline and the
-    # best visit is reported as data only
-    scaling["efficiency_best_visit"] = max(per_visit)
+    # best visit is reported as data only — over the probe-CLEAN pool,
+    # so an excluded visit's inflated ratio cannot resurface here
+    scaling["efficiency_best_visit"] = max(pool)
 
     result = {
         "metric": "extraction turns/sec + headline query wall time",

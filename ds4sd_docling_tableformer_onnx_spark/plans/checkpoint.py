@@ -26,26 +26,36 @@ from __future__ import annotations
 CHECKPOINT_KEYS = ("conv_id", "turn_idx", "payload_sha256")
 
 
-# dotted relative filenames that must never be read as catalog tables
-_FILE_EXTENSIONS = frozenset(
-    "parquet orc avro json csv tsv txt dat log tmp bak zip gz out dir".split()
-)
+# dotted relative filenames that must never be read as catalog tables:
+# STRONG extensions are data-file formats that classify as paths at any
+# segment depth (dump.json.gz is a file, not catalog dump.json table
+# gz); WEAK ones are common scratch-name suffixes that only force path
+# semantics for bare two-segment names (ice.db.out stays the catalog
+# identifier it is)
+_STRONG_EXTENSIONS = frozenset("parquet orc avro json csv tsv zip gz".split())
+_WEAK_EXTENSIONS = frozenset("txt dat log tmp bak out dir".split())
 
 
 def is_table_target(target: str) -> bool:
     """``catalog.db.table`` identifier (Iceberg path) vs filesystem
     path (parquet path).  Any path separator or URI scheme means path;
-    a separator-free dotted name is a table only when every segment is
-    a SQL identifier and the last is not a known file extension (so
-    ``ckpt.parquet`` stays a path).  The heuristic cannot distinguish
-    every ``name.ext`` from ``db.table`` — prefix ambiguous relative
-    paths with ``./`` to force path semantics."""
+    a separator-free dotted name is a table when every segment is a
+    SQL identifier — EXCEPT when the last segment is a data-file
+    format (``ckpt.parquet``, ``dump.json.gz`` stay paths at any
+    depth) or when a bare two-segment name ends in a scratch suffix
+    (``metrics.log`` stays a path; write it catalog-qualified to
+    target a table of that name).  ``ice.db.out`` remains the catalog
+    identifier it is.  Prefix ambiguous relative paths with ``./`` to
+    force path semantics."""
     import re
 
     if "/" in target or "\\" in target or ":" in target or "." not in target:
         return False
     segments = target.split(".")
-    if segments[-1].lower() in _FILE_EXTENSIONS:
+    last = segments[-1].lower()
+    if last in _STRONG_EXTENSIONS:
+        return False
+    if len(segments) == 2 and last in _WEAK_EXTENSIONS:
         return False
     return all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s) for s in segments)
 

@@ -3156,9 +3156,19 @@ def q_rollup_revenue(spark, sf_dir):
         joined.rollup("c_mktsegment", "o_orderstatus")
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact integer cents (same discipline as hypertable_rollup):
+            # a 2-dp rounded float sum over 150k doubles is summation-
+            # order-dependent and can straddle a cent boundary
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "_cents"
+            ),
         )
-        .select("c_mktsegment", "o_orderstatus", "n_orders", "revenue")
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            "n_orders",
+            (F.col("_cents") / 100.0).alias("revenue"),
+        )
     )
 
 
@@ -3168,7 +3178,8 @@ _register(
     """
     SELECT c_mktsegment, o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               / 100.0 AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
     """,

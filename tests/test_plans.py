@@ -189,11 +189,16 @@ def test_checkpoint_target_dispatch():
     assert not is_table_target("file:/tmp/ckpt")
     assert not is_table_target("s3a://bucket/ckpt")
     assert not is_table_target("plainname")  # no dot: not a table ident
-    # dotted relative filenames stay paths (extension denylist +
-    # identifier-segment rule)
+    # dotted relative filenames stay paths (strong extensions at any
+    # depth, weak scratch suffixes for bare 2-segment names)
     assert not is_table_target("ckpt.parquet")
     assert not is_table_target("dump.json.gz")
+    assert not is_table_target("metrics.log")
     assert not is_table_target("out.2024")  # segment not an identifier
+    # 3+ segment catalog identifiers survive even when the last
+    # segment collides with a weak scratch suffix
+    assert is_table_target("ice.db.out")
+    assert is_table_target("ice.db.metrics_log")
 
 
 def test_iceberg_gate_raises_cleanly(spark):
