@@ -10,6 +10,12 @@ Rule: source ``srcK`` keeps a document at rate 1 / 2^(K mod 4),
 decided by the first 32 bits of md5(doc_id) against an integer
 threshold (2^32 >> (K mod 4)).  The DuckDB oracle replicates the same
 arithmetic verbatim.
+
+Sources that do NOT match ``src([0-9]+)`` (e.g. ``wiki``) fall back to
+K = 0, i.e. keep rate 1 — ``try_cast`` + ``coalesce`` so Spark's ANSI
+mode cannot throw on ``CAST('' AS INT)`` and non-ANSI engines cannot
+silently drop the row (ADVICE r3 medium).  The oracle mirrors the same
+``TRY_CAST``/``COALESCE`` default.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ def mixture_keep(id_col: str = "doc_id", source_col: str = "source"):
     ).cast("long")
     threshold = F.expr(
         "shiftright(CAST(4294967296 AS BIGINT), "
-        f"CAST(regexp_extract({source_col}, 'src([0-9]+)', 1) AS INT) % 4)"
+        "coalesce(try_cast(regexp_extract("
+        f"{source_col}, 'src([0-9]+)', 1) AS INT), 0) % 4)"
     )
     return u32 < threshold

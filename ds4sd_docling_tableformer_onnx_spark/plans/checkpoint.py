@@ -29,35 +29,42 @@ CHECKPOINT_KEYS = ("conv_id", "turn_idx", "payload_sha256")
 # dotted relative filenames that must never be read as catalog tables:
 # STRONG extensions are data-file formats that classify as paths at any
 # segment depth (dump.json.gz is a file, not catalog dump.json table
-# gz); WEAK ones are common scratch-name suffixes that only force path
-# semantics for bare two-segment names (ice.db.out stays the catalog
-# identifier it is)
+# gz); WEAK ones are common scratch-name suffixes that also force path
+# semantics at any depth (nightly.run.out, a.b.tmp) — UNLESS the name's
+# first segment is an actually-configured catalog in the session, which
+# resolves the ambiguity in favor of the table (ADVICE r3 low).
 _STRONG_EXTENSIONS = frozenset("parquet orc avro json csv tsv zip gz".split())
 _WEAK_EXTENSIONS = frozenset("txt dat log tmp bak out dir".split())
 
 
-def is_table_target(target: str) -> bool:
+def is_table_target(target: str, spark=None) -> bool:
     """``catalog.db.table`` identifier (Iceberg path) vs filesystem
     path (parquet path).  Any path separator or URI scheme means path;
     a separator-free dotted name is a table when every segment is a
     SQL identifier — EXCEPT when the last segment is a data-file
-    format (``ckpt.parquet``, ``dump.json.gz`` stay paths at any
-    depth) or when a bare two-segment name ends in a scratch suffix
-    (``metrics.log`` stays a path; write it catalog-qualified to
-    target a table of that name).  ``ice.db.out`` remains the catalog
-    identifier it is.  Prefix ambiguous relative paths with ``./`` to
-    force path semantics."""
+    format or scratch suffix (``ckpt.parquet``, ``dump.json.gz``,
+    ``metrics.log``, ``nightly.run.out`` stay paths at ANY depth).
+    The scratch-suffix exception yields when ``spark`` is provided and
+    the first segment names a configured catalog
+    (``spark.sql.catalog.<name>``): ``ice.db.out`` is then the catalog
+    table it looks like.  Prefix ambiguous relative paths with ``./``
+    to force path semantics."""
     import re
 
     if "/" in target or "\\" in target or ":" in target or "." not in target:
         return False
     segments = target.split(".")
+    if not all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s) for s in segments):
+        return False
     last = segments[-1].lower()
     if last in _STRONG_EXTENSIONS:
         return False
-    if len(segments) == 2 and last in _WEAK_EXTENSIONS:
-        return False
-    return all(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s) for s in segments)
+    if last in _WEAK_EXTENSIONS:
+        return (
+            spark is not None
+            and spark.conf.get(f"spark.sql.catalog.{segments[0]}", None) is not None
+        )
+    return True
 
 
 def _require_catalog(spark, target: str):
@@ -86,7 +93,7 @@ def write_checkpoint(df, path: str, run_id: str, stage: str):
     """Append this stage's output to its checkpoint table (parquet path
     or Iceberg catalog table — see module docstring)."""
     framed = with_lineage(df, run_id, stage)
-    if is_table_target(path):
+    if is_table_target(path, framed.sparkSession):
         spark = framed.sparkSession
         _require_catalog(spark, path)
         if spark.catalog.tableExists(path):
@@ -98,7 +105,7 @@ def write_checkpoint(df, path: str, run_id: str, stage: str):
 
 
 def read_checkpoint(spark, path: str):
-    if is_table_target(path):
+    if is_table_target(path, spark):
         _require_catalog(spark, path)
         return spark.table(path) if spark.catalog.tableExists(path) else None
     try:

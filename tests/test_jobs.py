@@ -65,6 +65,25 @@ def test_curate_deterministic(spark, docs):
     assert pa.equals(pb)
 
 
+def test_mixture_keep_non_numeric_source(spark):
+    """Sources that don't match 'src([0-9]+)' (e.g. 'wiki') must not
+    crash under ANSI mode (CAST('' AS INT) threw pre-r4) and fall back
+    to keep rate 1 — ADVICE r3 medium."""
+    from ds4sd_docling_tableformer_onnx_spark.functions.sampling import (
+        mixture_keep,
+    )
+
+    rows = [(str(i), src) for i in range(64) for src in ("wiki", "src0", "src3")]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    kept = df.where(mixture_keep("doc_id", "source")).groupBy("source").count()
+    by_src = {r["source"]: r["count"] for r in kept.collect()}
+    # unmatched source == K=0 == keep everything, identical to src0
+    assert by_src["wiki"] == 64
+    assert by_src["src0"] == 64
+    # src3 keeps at rate 1/8 — strictly fewer
+    assert 0 < by_src.get("src3", 0) < 64
+
+
 def test_curate_hygiene_stages(spark, docs):
     """--eval-input and --max-dup-frac drop the right survivors: a
     benchmark doc sharing a near-dup cluster's text knocks that

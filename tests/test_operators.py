@@ -32,16 +32,22 @@ def test_simhash_near_dup_detects_clones(spark):
 def test_simhash_signature_regression(spark):
     """Fixed-vector pins: the vectorized batch UDF must reproduce the
     scalar md5-majority definition bit-for-bit (guards the numpy
-    rewrite), including empty and repeated-word inputs."""
+    rewrite), including empty and repeated-word inputs — and the
+    ASCII-whitespace tokenization must hold against Unicode whitespace
+    (NBSP joins a token rather than splitting it, matching the DuckDB
+    oracle's RE2 ``\\s+`` on any corpus)."""
     import hashlib
+    import re
 
     from ds4sd_docling_tableformer_onnx_spark.operators.dedup import simhash_column
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     def scalar_ref(text, bits=64):
         if not text:
             return 0
         acc = [0] * bits
-        for word in set(text.split()):
+        for word in set(ws.split(text)) - {""}:
             h = int.from_bytes(hashlib.md5(word.encode()).digest()[:8], "big")
             for b in range(bits):
                 acc[b] += 1 if (h >> b) & 1 else -1
@@ -57,11 +63,16 @@ def test_simhash_signature_regression(spark):
         (3, ""),
         (4, None),
         (5, "dup dup dup single"),
+        (6, "nbsp joined stays one-token"),  # Unicode ws NOT a split
+        (7, "  "),  # only Unicode ws -> one 2-char token, not sig 0
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["simhash"] for r in simhash_column(df).collect()}
     assert got[1] == 1140598971862558276  # literal pin
     assert got[2] == 4716134343596349080  # literal pin
+    assert got[6] == scalar_ref("nbsp joined stays one-token")
+    assert "nbsp joined" in ws.split(rows[5][1])  # the pin's premise
+    assert got[7] != 0  # Python str.split() would have produced 0
     for doc_id, text in rows:
         assert got[doc_id] == scalar_ref(text or "")
 

@@ -189,16 +189,34 @@ def test_checkpoint_target_dispatch():
     assert not is_table_target("file:/tmp/ckpt")
     assert not is_table_target("s3a://bucket/ckpt")
     assert not is_table_target("plainname")  # no dot: not a table ident
-    # dotted relative filenames stay paths (strong extensions at any
-    # depth, weak scratch suffixes for bare 2-segment names)
+    # dotted relative filenames stay paths (strong extensions AND weak
+    # scratch suffixes at any depth — ADVICE r3: nightly.run.out /
+    # a.b.tmp must not raise on a previously path-only API)
     assert not is_table_target("ckpt.parquet")
     assert not is_table_target("dump.json.gz")
     assert not is_table_target("metrics.log")
+    assert not is_table_target("nightly.run.out")
+    assert not is_table_target("a.b.tmp")
     assert not is_table_target("out.2024")  # segment not an identifier
-    # 3+ segment catalog identifiers survive even when the last
-    # segment collides with a weak scratch suffix
-    assert is_table_target("ice.db.out")
+    # non-suffix last segments stay tables at any depth
     assert is_table_target("ice.db.metrics_log")
+
+
+def test_checkpoint_weak_suffix_yields_to_configured_catalog(spark):
+    """ice.db.out IS a table when catalog 'ice' is configured in the
+    session; otherwise the scratch-suffix path reading wins."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.checkpoint import (
+        is_table_target,
+    )
+
+    assert not is_table_target("ice.db.out")
+    assert not is_table_target("ice.db.out", spark)
+    spark.conf.set("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert is_table_target("ice.db.out", spark)
+        assert not is_table_target("ice.db.out")  # sessionless stays path
+    finally:
+        spark.conf.unset("spark.sql.catalog.ice")
 
 
 def test_iceberg_gate_raises_cleanly(spark):
