@@ -152,3 +152,87 @@ def simhash_candidates(df, id_col: str = "doc_id"):
     for part in parts[1:]:
         result = result.unionAll(part)
     return adopt(result, banded)
+
+
+def bloom_key_positions(key_col, m: int, n_hashes: int = 7):
+    """Array column of ``n_hashes`` bloom bit positions for a key:
+    position_j = u32(md5(j || '#' || key)) mod m.
+
+    Hash-derived (md5, not an RNG or an engine-private hash) for the
+    same reason as the LSH planes: any engine — the DuckDB oracle, a
+    JVM rewrite — reproduces the exact positions from the expression
+    alone.  Spark's native BloomFilterAggregate is not exposed to SQL/
+    PySpark (internal runtime-filter expression only), and its
+    murmur3 layout would make the filter engine-private; this keeps the
+    operator value-checkable.  u32 positions bound ``m`` at 2^32 bits
+    (~400M keys/shard at 10 bits/key) — shard the corpus (the intended
+    deployment anyway) or widen to two hash words beyond that."""
+    from pyspark.sql import functions as F
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda j: F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(j.cast("string"), F.lit("#"), key_col)), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        ),
+    )
+
+
+def bloom_prefilter(
+    build_df,
+    probe_df,
+    key_col: str = "text",
+    bits_per_key: int = 10,
+    n_hashes: int = 7,
+):
+    """Cross-shard exact-dedup prefilter: a bloom filter built over one
+    corpus slice's keys, probed by another — the cheap pre-join that
+    lets 100-TB exact dedup skip the full shuffle for the (vast)
+    majority of rows that cannot be duplicates.
+
+    Returns ``probe_df`` plus a ``maybe_dup`` boolean.  Bloom
+    guarantees: no false negatives (every true duplicate is flagged);
+    false-positive rate ~ (1 - e^(-k/b))^k — ~0.8% at the default
+    k=7 hashes, b=10 bits/key.  Only ``maybe_dup`` rows proceed to the
+    exact anti-join; the rest short-circuit.
+
+    Implementation is the *relational* form of the bitmap: the filter
+    is the DISTINCT set of build-side bit positions (``m`` rows max,
+    here m = bits_per_key * n_build), and a probe key "might be
+    contained" iff ALL its ``n_hashes`` positions hit that set — a
+    semi-join + count instead of testing a byte-array literal.
+    Identical membership semantics (the set IS the bitmap's set bits),
+    same FPR math, and exactly one shuffle on 8-byte position keys.
+    At deployment scale the position set for a 10^8-key shard is ~10^9
+    longs — materialize it once per shard and broadcast-join probes
+    against it (AQE does this automatically below the broadcast
+    threshold); beyond that the equi-join form here is already the
+    shuffle-minimal plan."""
+    from pyspark.sql import functions as F
+
+    n_build = build_df.count()
+    m = max(64, n_build * bits_per_key)
+
+    build_positions = (
+        build_df.select(
+            F.explode(bloom_key_positions(F.col(key_col), m, n_hashes)).alias("pos")
+        )
+        .distinct()
+    )
+    probe_positions = probe_df.select(
+        "*", F.explode(bloom_key_positions(F.col(key_col), m, n_hashes)).alias("pos")
+    )
+    hits = (
+        probe_positions.join(build_positions, "pos", "left_semi")
+        .groupBy(*probe_df.columns)
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        probe_df.join(hits, probe_df.columns, "left")
+        .withColumn("maybe_dup", F.coalesce(F.col("_hits") == n_hashes, F.lit(False)))
+        .drop("_hits")
+    )

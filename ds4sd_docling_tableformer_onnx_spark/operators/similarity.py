@@ -423,6 +423,99 @@ def probe_lists(centroids, query_vec, nprobe: int):
     return np.argsort(-(cnorm @ q))[:nprobe].tolist()
 
 
+def semantic_dedup(
+    emb_df,
+    threshold: float = 0.25,
+    n_lists: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    max_cluster_rows: int | None = 100_000,
+):
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    the IVF coarse quantizer, then within each cluster drop every row
+    that has a LOWER-id neighbor above the cosine threshold (the
+    canonical smaller id survives — same min-id discipline as the
+    connected-components dedup groups).
+
+    Returns ``(id, cluster, kept)`` for every input row.  ``kept`` is
+    deterministic: the quantizer trains on a bounded ordered sample
+    (:func:`train_ivf_centroids`), so cluster assignment — and hence
+    the drop set — is a pure function of the input.
+
+    Scale shape (the SemDeDup recipe at 10^9 rows):
+    - clustering is a narrow map stage (one matmul per Arrow batch);
+    - the pair scoring is ONE self-equi-join on the cluster key —
+      ~n^2/n_lists scored pairs instead of n^2; ``n_lists`` scales
+      with the corpus exactly like ``auto_n_planes`` (the paper uses
+      ~100k clusters at billion scale);
+    - ``max_cluster_rows`` hard-caps degenerate clusters the same way
+      ``lsh_neardup_pairs`` caps buckets: oversized clusters are
+      excluded from pair scoring (their rows stay kept=true) and the
+      drop is logged — no silent quadratic cliff;
+    - the persisted cluster table is owned by the returned frame:
+      release with ``plans.cache.release(result)`` after the terminal
+      action.
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.cache import adopt
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb_df, n_lists=n_lists, seed=seed, vec_col=vec_col, id_col=id_col
+        )
+    assigned = (
+        ivf_assign(emb_df.select(id_col, vec_col), centroids, vec_col=vec_col)
+        .withColumnRenamed("ivf_list", "cluster")
+        .persist()
+    )
+
+    scored = assigned
+    if max_cluster_rows is not None:
+        oversized = (
+            assigned.groupBy("cluster")
+            .count()
+            .where(F.col("count") > max_cluster_rows)
+            .collect()
+        )
+        if oversized:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "semantic_dedup: excluding %d oversized cluster(s) from "
+                "pair scoring (> %d rows; their rows stay kept): %s",
+                len(oversized),
+                max_cluster_rows,
+                sorted(r["cluster"] for r in oversized)[:32],
+            )
+            scored = assigned.where(
+                ~F.col("cluster").isin([r["cluster"] for r in oversized])
+            )
+
+    a, b = scored.alias("a"), scored.alias("b")
+    e_a = F.col(f"a.{vec_col}").cast("array<double>")
+    e_b = F.col(f"b.{vec_col}").cast("array<double>")
+    cos = _dot(e_a, e_b) / (F.sqrt(_dot(e_a, e_a)) * F.sqrt(_dot(e_b, e_b)))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(F.round(cos, 6) > threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    result = assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left").select(
+        F.col(id_col).alias("id"),
+        F.col("cluster"),
+        F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+    )
+    return adopt(result, assigned)
+
+
 def write_ivf_store(emb_df, centroids, path: str, vec_col: str = "embedding"):
     """Materialize the corpus partitioned by inverted list — the
     at-scale layout where a probe becomes a partition-pruned scan: the

@@ -55,6 +55,9 @@ def curate(
     pack_ranges: int = 16,
     eval_docs=None,
     max_dup_frac: float | None = None,
+    emb_docs=None,
+    sem_threshold: float = 0.85,
+    sem_lists: int = 8,
 ):
     """documents (doc_id, text, lang, source, ...) -> curated, packed
     survivors.  Returns (result_df, stats_dict).
@@ -65,7 +68,13 @@ def curate(
       join against the broadcast eval gram set);
     - ``max_dup_frac``: drop survivors whose duplicated-span fraction
       (corpus doc-frequency >= 4 at word-8-gram granularity) exceeds
-      the threshold.
+      the threshold;
+    - ``emb_docs``: (vec_id, embedding) rows keyed by doc_id — drop
+      survivors the SemDeDup pass marks as semantic near-dups
+      (operators/similarity.semantic_dedup: IVF clusters, within-
+      cluster cosine > ``sem_threshold`` to a smaller id).  Catches
+      paraphrase-level duplicates the token-level simhash stage
+      cannot.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -98,8 +107,24 @@ def curate(
     )
     survivors = survivors_base
 
-    # 2. hygiene: benchmark decontamination + duplicated-span filter
-    n_contaminated = n_repetitive = 0
+    # 2. hygiene: benchmark decontamination + duplicated-span filter +
+    # optional embedding-level (SemDeDup) near-dup drop
+    n_contaminated = n_repetitive = n_semantic = 0
+    sem = None
+    if emb_docs is not None:
+        from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        sem = semantic_dedup(
+            emb_docs, threshold=sem_threshold, n_lists=sem_lists, seed=7
+        )
+        sem_dropped = sem.where(~F.col("kept")).select(
+            F.col("id").alias("doc_id")
+        )
+        before = survivors.count()
+        survivors = survivors.join(sem_dropped, "doc_id", "left_anti")
+        n_semantic = before - survivors.count()
     if eval_docs is not None:
         hits = decontaminate(survivors, eval_docs)
         n_contaminated = hits.count()
@@ -188,11 +213,16 @@ def curate(
         "input_docs": n_input,
         "contaminated_dropped": int(n_contaminated),
         "repetitive_dropped": int(n_repetitive),
+        "semantic_dropped": int(n_semantic),
         "survivors_sampled": n_docs,
         "total_tokens": int(acc),
         "sequences": int(-(-acc // max_seq_len)) if acc else 0,
     }
     release(cand)
+    if sem is not None:
+        # safe here for the same reason as survivors_base below: the
+        # packing output reads from the eager localCheckpoint
+        release(sem)
     # safe: `packed` reads from the eager localCheckpoint of `ranked`,
     # so it no longer depends on the cached survivor table
     survivors_base.unpersist()
@@ -216,6 +246,15 @@ def main(argv=None):
         help="drop survivors whose duplicated-span fraction exceeds this",
     )
     parser.add_argument(
+        "--emb-input", default=None,
+        help="parquet of (vec_id, embedding) keyed by doc_id: drop "
+        "survivors SemDeDup marks as semantic near-dups",
+    )
+    parser.add_argument(
+        "--sem-threshold", type=float, default=0.85,
+        help="within-cluster cosine above which a higher-id survivor drops",
+    )
+    parser.add_argument(
         "--sf-dir", default=None,
         help="read documents from <sf-dir>/documents.parquet (smoke runs)",
     )
@@ -231,6 +270,7 @@ def main(argv=None):
     eval_docs = (
         spark.read.parquet(args.eval_input) if args.eval_input else None
     )
+    emb_docs = spark.read.parquet(args.emb_input) if args.emb_input else None
 
     t0 = time.perf_counter()
     packed, stats = curate(
@@ -240,6 +280,8 @@ def main(argv=None):
         hamming=args.hamming,
         eval_docs=eval_docs,
         max_dup_frac=args.max_dup_frac,
+        emb_docs=emb_docs,
+        sem_threshold=args.sem_threshold,
     )
     packed.write.mode("overwrite").parquet(args.output)
     stats["wall_sec"] = round(time.perf_counter() - t0, 3)

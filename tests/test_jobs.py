@@ -65,6 +65,40 @@ def test_curate_deterministic(spark, docs):
     assert pa.equals(pb)
 
 
+def test_curate_semantic_dedup_stage(spark, docs):
+    """--emb-input: survivors whose embedding is a within-cluster
+    near-parallel of a smaller-id row are dropped (SemDeDup stage);
+    survivors without embeddings are untouched."""
+    from curate_job import curate
+
+    base, _ = curate(spark, docs, max_seq_len=64, hamming=3, pack_ranges=4)
+    # doc_id is a STRING here: sort lexicographically, matching the
+    # operator's a.id < b.id ordering, so keep_a really is the
+    # canonical min of the planted near-dup pair
+    base_ids = sorted({r["doc_id"] for r in base.select("doc_id").collect()})
+    assert len(base_ids) >= 3
+    keep_a, keep_b = base_ids[0], base_ids[1]
+    victim = base_ids[2]
+    # victim's vector is near-parallel to keep_a's; keep_b orthogonal
+    emb = spark.createDataFrame(
+        [
+            (keep_a, [1.0, 0.0]),
+            (victim, [0.999, 0.045]),
+            (keep_b, [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    cleaned, stats = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        emb_docs=emb, sem_threshold=0.9, sem_lists=1,
+    )
+    cleaned_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert stats["semantic_dropped"] == 1
+    assert victim not in cleaned_ids
+    assert keep_a in cleaned_ids and keep_b in cleaned_ids
+    assert set(base_ids) - cleaned_ids == {victim}
+
+
 def test_mixture_keep_non_numeric_source(spark):
     """Sources that don't match 'src([0-9]+)' (e.g. 'wiki') must not
     crash under ANSI mode (CAST('' AS INT) threw pre-r4) and fall back

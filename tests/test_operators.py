@@ -414,3 +414,76 @@ def test_pagerank_matches_python_reference(spark):
     for v in r:
         assert abs(got[v] - r[v]) < 1e-12
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_semantic_dedup_constructed_clusters(spark):
+    """Two well-separated direction clusters with planted near-dups:
+    the canonical min-id row of each near-dup set survives, singletons
+    survive, and the output partitions the input."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
+    rows = []
+    # cluster around +x: ids 0-3 nearly parallel (near-dups), id 4 tilted
+    for i in range(4):
+        rows.append((i, [1.0, 0.01 * i, 0.0]))
+    rows.append((4, [0.5, 0.0, 0.86]))  # same half-space, low cosine to x
+    # cluster around +y: ids 10-12 near-dups, id 13 tilted
+    for i in range(3):
+        rows.append((10 + i, [0.01 * i, 1.0, 0.0]))
+    rows.append((13, [0.0, 0.5, -0.86]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    res = semantic_dedup(df, threshold=0.9, n_lists=2, seed=3)
+    got = {r["id"]: r["kept"] for r in res.collect()}
+    release(res)
+    assert len(got) == len(rows)
+    # min id of each parallel group survives; the rest drop
+    assert got[0] and not (got[1] or got[2] or got[3])
+    assert got[10] and not (got[11] or got[12])
+    # tilted singletons survive regardless of cluster
+    assert got[4] and got[13]
+
+
+def test_semantic_dedup_cluster_cap_guard(spark):
+    """max_cluster_rows: oversized clusters are excluded from pair
+    scoring — their rows all stay kept (loud log, no quadratic join)."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
+    rows = [(i, [1.0, 0.001 * i]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = semantic_dedup(df, threshold=0.9, n_lists=1, seed=3, max_cluster_rows=5)
+    got = {r["id"]: r["kept"] for r in res.collect()}
+    release(res)
+    assert all(got.values())  # every row kept: the one cluster was capped
+
+
+def test_bloom_prefilter_guarantees(spark):
+    """No false negatives ever; false positives bounded well below the
+    worst case on novel keys."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        bloom_prefilter,
+    )
+
+    build = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(200)], "id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(0, 200, 2)]  # 100 true dups
+        + [(1000 + i, f"novel-{i}") for i in range(100)],  # 100 novel
+        "id long, text string",
+    )
+    flagged = {r["id"]: r["maybe_dup"] for r in bloom_prefilter(build, probe).collect()}
+    dup_ids = [i for i in range(0, 200, 2)]
+    novel_ids = [1000 + i for i in range(100)]
+    assert all(flagged[i] for i in dup_ids)  # bloom: no false negatives
+    fps = sum(flagged[i] for i in novel_ids)
+    assert fps <= 10  # ~0.8% theoretical at k=7 b=10; 10% hard bound
+    # determinism: hash-derived positions, not RNG
+    again = {r["id"]: r["maybe_dup"] for r in bloom_prefilter(build, probe).collect()}
+    assert again == flagged
