@@ -96,6 +96,9 @@ HEADLINE = [
     "json_extract_rollup",
     "stats_by_type",
     "session_window_counts",
+    "bpe_merges",
+    "semantic_dedup",
+    "bloom_dedup",
 ]
 
 
@@ -206,7 +209,15 @@ def main():
     )
 
     sf_label = Path(SF_DIR).name
-    n_turns = {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}.get(sf_label, 5_000)
+    n_turns = {
+        "sf0.001": 500,
+        "sf0.01": 5_000,
+        "sf0.1": 50_000,
+        # sf1 tier (scripts/make_sf1.py): 10x the sf0.1 corpus AND 10x
+        # the extraction volume, so the sf1 bench exercises both axes
+        "sf1": 500_000,
+        "spark_graft_sf1": 500_000,
+    }.get(sf_label, 5_000)
 
     # --- prepare the shared transcript inputs once -----------------------
     # scaling evidence needs enough work that task overheads amortize,
