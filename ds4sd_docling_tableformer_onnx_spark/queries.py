@@ -2093,35 +2093,52 @@ def q_dedup_groups(spark, sf_dir):
     return adopt(result, *cached_inputs(cand))
 
 
-_register(
-    "dedup_groups",
-    q_dedup_groups,
-    f"""
-    WITH RECURSIVE pairs AS (
+_CC_ORACLE_ITERS = 25  # == operators/graph.py connected_components max_iter
+
+
+def _dedup_groups_oracle_sql() -> str:
+    """Unrolled hash-min label propagation (pagerank-oracle style).
+
+    The previous form was a recursive min-label CLOSURE CTE — it
+    enumerates every (node, reachable-smaller-label) pair, which is
+    quadratic per component and exploded (79 GB spill) on sf1's
+    ~3000-node clone components.  The unrolled propagation carries ONE
+    label per node per iteration (the operator's exact algorithm), so
+    each of the 25 materialized steps is a bounded join + group-by;
+    25 iterations >= the operator's max_iter, past which the operator
+    would have raised rather than returned."""
+    steps = "".join(
+        f""", lab{t} AS MATERIALIZED (
+        SELECT n.id, least(n.comp, COALESCE(m.nbr, n.comp)) AS comp
+        FROM lab{t - 1} n LEFT JOIN (
+            SELECT e.dst AS id, min(l.comp) AS nbr
+            FROM lab{t - 1} l JOIN edges e ON e.src = l.id
+            GROUP BY e.dst
+        ) m USING (id)
+    )"""
+        for t in range(1, _CC_ORACLE_ITERS + 1)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (
         SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_SQL}) WHERE hamming <= 3
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs WHERE id_a <> id_b
         UNION
         SELECT id_b AS src, id_a AS dst FROM pairs WHERE id_a <> id_b
-    ), nodes AS (
-        SELECT DISTINCT src AS id FROM edges
-    ), reach(id, comp) AS (
-        -- min-label closure == the operator's converged hash-min state
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
-    ), comp AS (
-        SELECT id, min(comp) AS comp FROM reach GROUP BY id
-    ), labeled AS (
+    ), lab0 AS MATERIALIZED (
+        SELECT DISTINCT src AS id, src AS comp FROM edges
+    ){steps}, labeled AS MATERIALIZED (
         SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS group_id
-        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        FROM documents d LEFT JOIN lab{_CC_ORACLE_ITERS} c ON c.id = d.doc_id
     )
     SELECT l.doc_id, l.group_id, CAST(s.group_size AS BIGINT) AS group_size
     FROM labeled l
     JOIN (SELECT group_id, count(*) AS group_size
           FROM labeled GROUP BY group_id) s USING (group_id)
-    """,
-)
+    """
+
+
+_register("dedup_groups", q_dedup_groups, _dedup_groups_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -3574,7 +3591,7 @@ def q_pagerank(spark, sf_dir):
 
 def _pagerank_oracle_sql() -> str:
     iters = "".join(
-        f""", pr{k} AS (
+        f""", pr{k} AS MATERIALIZED (
         SELECT e.d AS id,
                (1 - {_PR_DAMP}) / (SELECT cnt FROM n)
                + {_PR_DAMP} * sum(p.r / dg.deg) AS r
@@ -3586,17 +3603,17 @@ def _pagerank_oracle_sql() -> str:
         for k in range(1, _PR_ITER + 1)
     )
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
         SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_SQL}) WHERE hamming <= 3
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT id_a AS s, id_b AS d FROM pairs
         UNION
         SELECT id_b AS s, id_a AS d FROM pairs
-    ), deg AS (
+    ), deg AS MATERIALIZED (
         SELECT s, count(*) AS deg FROM edges GROUP BY s
-    ), n AS (
+    ), n AS MATERIALIZED (
         SELECT count(DISTINCT s) AS cnt FROM edges
-    ), pr0 AS (
+    ), pr0 AS MATERIALIZED (
         SELECT DISTINCT s AS id, 1.0 / (SELECT cnt FROM n) AS r FROM edges
     ){iters}
     SELECT id, round(r, 10) AS rank FROM pr{_PR_ITER}
