@@ -57,7 +57,21 @@ def simhash_column(df, text_col: str = "text", bits: int = 64):
         for i, text in enumerate(texts):
             if not text:
                 continue
-            uniq = set(ws.split(text)) - {""}
+            # fast path: on pure-ASCII text, C-level str.split() IS the
+            # ASCII-\s+ split (measured ~2x the regex's tokenize cost)
+            # EXCEPT for \x1c-\x1f, which str.split treats as whitespace
+            # and re.ASCII \s does not; rows carrying those (or any
+            # non-ASCII) take the regex that pins the semantics
+            if (
+                text.isascii()
+                and "\x1c" not in text
+                and "\x1d" not in text
+                and "\x1e" not in text
+                and "\x1f" not in text
+            ):
+                uniq = set(text.split())
+            else:
+                uniq = set(ws.split(text)) - {""}
             if not uniq:
                 continue
             row_idx.extend([i] * len(uniq))

@@ -43,14 +43,16 @@ def ref_bpe(docs, rounds):
     return merges, streams
 
 
+# ids are multiples of 4: the registered query (and its oracle) trains
+# on the deterministic doc_id % 4 = 0 shard, so these all survive it
 DOCS = [
-    (1, "aaaa"),          # overlap run: must merge to [aa, aa]
-    (2, "aaa"),           # odd run: [aa, a]
-    (3, "ababab"),        # alternating, later multi-char merges
-    (4, "the cat sat"),   # spaces are symbols too
-    (5, "a"),             # no pairs
-    (6, ""),              # empty
-    (7, "abab ababx"),
+    (0, "aaaa"),          # overlap run: must merge to [aa, aa]
+    (4, "aaa"),           # odd run: [aa, a]
+    (8, "ababab"),        # alternating, later multi-char merges
+    (12, "the cat sat"),  # spaces are symbols too
+    (16, "a"),            # no pairs
+    (20, ""),             # empty
+    (24, "abab ababx"),
 ]
 
 

@@ -65,6 +65,7 @@ def test_simhash_signature_regression(spark):
         (5, "dup dup dup single"),
         (6, "nbsp joined stays one-token"),  # Unicode ws NOT a split
         (7, "  "),  # only Unicode ws -> one 2-char token, not sig 0
+        (8, "fsjoined stays one"),  # ASCII \x1c: str.split ws, NOT re-ASCII \s
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["simhash"] for r in simhash_column(df).collect()}
