@@ -16,10 +16,6 @@ from ds4sd_docling_tableformer_onnx_spark.plans.cache import (
 SF = "/root/testdata/sf0.001"
 
 
-def _n_cached(spark):
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
-
-
 def test_auto_n_planes_scales_with_corpus():
     # small corpora stay at the floor
     assert auto_n_planes(100) == 8
@@ -91,8 +87,6 @@ def test_release_frees_all_operator_caches(spark):
         generate_transcripts,
     )
 
-    before = _n_cached(spark)
-
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sims = simhash_candidates(simhash_column(docs, text_col="text"), id_col="doc_id")
     sims.count()
@@ -109,10 +103,22 @@ def test_release_frees_all_operator_caches(spark):
     dedup.count()
     assert cached_inputs(dedup)
 
-    assert _n_cached(spark) > before  # the caches really were pinned
+    # Track the exact frames each operator adopted rather than the global
+    # persistent-RDD count: the session-scoped suite runs operators whose
+    # per-iteration localCheckpoint blocks are freed ASYNCHRONOUSLY by the
+    # ContextCleaner when their Python refs are GC'd, so the global count
+    # can shrink underneath this test at any moment (observed flake).
+    def _pinned(frame):
+        lvl = frame.storageLevel
+        return lvl.useMemory or lvl.useDisk
+
+    owned = {
+        id(c): c for f in (sims, pairs, dedup) for c in cached_inputs(f)
+    }
+    assert owned and all(_pinned(c) for c in owned.values())  # really pinned
     for frame in (sims, pairs, dedup):
         release(frame, blocking=True)
-    assert _n_cached(spark) == before
+    assert not any(_pinned(c) for c in owned.values())  # really freed
 
     # double-release is harmless
     release(sims)
