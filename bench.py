@@ -99,6 +99,9 @@ HEADLINE = [
     "bpe_merges",
     "semantic_dedup",
     "bloom_dedup",
+    "chunk_documents",
+    "cluster_split",
+    "dsir_resample",
 ]
 
 

@@ -2620,9 +2620,19 @@ def q_pack_sequences(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens")
     )
-    n_docs = toks.count()
-    width = max(1, -(-n_docs // _PACK_RANGES))  # ceil
-    ranged = toks.withColumn("rng", (F.col("doc_id") / width).cast("long"))
+    # Range assignment by approx-quantile boundaries of the ACTUAL id
+    # distribution (r3 verdict low #4: dividing doc_id by a count-derived
+    # width assumed dense ids; sparse/clustered id spaces would imbalance
+    # ranges).  Boundaries are computed once driver-side and embedded as
+    # literals, so the totals pass and the window pass can never disagree
+    # on a row's range; and ANY monotone bucketing yields the same final
+    # answer, so boundary placement only affects balance, not values.
+    probs = [i / _PACK_RANGES for i in range(1, _PACK_RANGES)]
+    bounds = sorted(set(toks.stat.approxQuantile("doc_id", probs, 0.001)))
+    rng = F.lit(0)
+    for b in bounds:
+        rng = rng + F.when(F.col("doc_id") >= F.lit(float(b)), 1).otherwise(0)
+    ranged = toks.withColumn("rng", rng.cast("long"))
 
     # phase 1: per-range totals -> exclusive prefix offsets (driver-side
     # cumsum over <= _PACK_RANGES rows)
@@ -3883,5 +3893,243 @@ _register(
             WHERE text IN (SELECT text FROM build)) AS true_dups,
            TRUE AS no_false_negatives,
            TRUE AS fpr_ok
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Token-window chunking — split every document into fixed-size token
+# windows with overlap (the RAG / long-context preprocessing primitive).
+# Entirely JVM-side: split -> sequence(0, n-1, stride) -> posexplode ->
+# slice -> md5, all whole-stage-codegen; no shuffle at all (narrow map
+# + generate), so the operator scales as a pure scan at any corpus
+# size.  The chunk text itself is emitted as md5 so the compared result
+# stays compact at every sf tier.
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between adjacent chunks
+
+
+def q_chunk_documents(spark, sf_dir):
+    """(doc_id, chunk_idx, start_tok, n_tok, chunk_md5) for 64-token
+    windows every 48 tokens.  Empty-token-array inputs are guarded the
+    same way as the gram builders (ADVICE r3: sequence(start > stop)
+    would step -1)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("ws"))
+    starts = F.when(
+        F.size("ws") >= 1,
+        F.sequence(F.lit(0), F.size("ws") - 1, F.lit(_CHUNK_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = toks.select(
+        "doc_id", "ws", F.posexplode(starts).alias("chunk_idx", "start_tok")
+    )
+    chunk = F.slice("ws", F.col("start_tok") + 1, _CHUNK_LEN)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+_register(
+    "chunk_documents",
+    q_chunk_documents,
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), s AS (
+        -- range() stop is exclusive: starts are every multiple of the
+        -- stride <= len-1, exactly Spark's sequence(0, n-1, stride)
+        SELECT doc_id, ws, unnest(range(0, len(ws), {_CHUNK_STRIDE})) AS start_tok
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(len(ws[start_tok + 1 : start_tok + {_CHUNK_LEN}]) AS BIGINT) AS n_tok,
+           md5(array_to_string(ws[start_tok + 1 : start_tok + {_CHUNK_LEN}], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-cluster-aware train/holdout split — the leakage-safe
+# evaluation split: an entire near-duplicate component lands on ONE
+# side (hashing the GROUP id, not the doc id), so no holdout document
+# has a near-duplicate in train.  Composes the dedup_groups component
+# labels with the md5-integer split hash (functions/sampling.py
+# discipline: hash-derived, RNG-free, engine-replicable).
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_split(spark, sf_dir):
+    """(doc_id, group_id, split) with split decided per GROUP:
+    u32(md5(group_id)) % 10 == 0 -> 'holdout' (~10%), else 'train'."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .operators.graph import dedup_groups
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = simhash_candidates(simhash_column(docs))
+    edges = cand.where(F.col("hamming") <= 3)
+    groups = dedup_groups(docs, edges, id_col="doc_id")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    result = groups.select(
+        "doc_id",
+        "group_id",
+        F.when(u32 % 10 == 0, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    return adopt(result, *cached_inputs(cand), *cached_inputs(groups))
+
+
+_register(
+    "cluster_split",
+    q_cluster_split,
+    f"""
+    SELECT doc_id, group_id,
+           CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::UBIGINT
+                     % 10 = 0
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM ({_dedup_groups_oracle_sql()})
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by the log-likelihood ratio of its hashed word unigrams
+# under the target slice vs the raw pool, keep the top-K.
+#
+# Scale shape: bucket statistics are two map-side-combined aggregations
+# down to B=1024 rows each (collected driver-side — bounded by B, the
+# IVF-centroid pattern); the per-bucket scores ship back as ONE array
+# literal, so the scoring pass is a shuffle-free narrow map
+# (transform + element_at + aggregate, whole-stage codegen) ending in
+# TakeOrdered(K) — no join, no window, no shuffle at 100 TB (at fleet
+# scale the literal becomes a broadcast variable; the plan is
+# otherwise identical).
+#
+# Engine parity: bucket = u32(md5(word)) % B (md5-derived like the LSH
+# planes — never RNG); per-bucket log-ratio is quantized to an INTEGER
+# (round(ln * 1e6)) so the per-document weight is an exact integer sum,
+# immune to float summation order.  ln() runs on exact integer-valued
+# doubles in both engines (products < 2^53 here; beyond that both
+# engines round the same integer to the same nearest double first).
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOPK = 500
+
+
+def q_dsir_resample(spark, sf_dir):
+    """Top-500 raw-pool docs by hashed-unigram importance weight toward
+    the deterministic target slice (doc_id % 43 == 0, the eval-slice
+    convention shared with decontaminate)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    B = _DSIR_BUCKETS
+    docs = _read(spark, sf_dir, "documents")
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % B
+
+    words = F.explode(F.split("text", " ", -1)).alias("w")
+    tgt = docs.where(F.col("doc_id") % 43 == 0).select(words)
+    src = docs.where(F.col("doc_id") % 43 != 0)
+
+    def _bucket_counts(df):
+        rows = df.groupBy(bucket(F.col("w")).alias("b")).agg(
+            F.count("*").alias("c")
+        ).collect()
+        return {int(r["b"]): int(r["c"]) for r in rows}
+
+    tc = _bucket_counts(tgt)
+    sc = _bucket_counts(src.select(words))
+    t_tot, s_tot = sum(tc.values()), sum(sc.values())
+
+    def _half_away(x: float) -> int:
+        # DuckDB round() is half-away-from-zero; Python round() is
+        # banker's — mirror DuckDB exactly (tie probability ~0, but the
+        # tie-break must still be symmetric by construction)
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    scores = [
+        _half_away(
+            (
+                math.log((tc.get(b, 0) + 1) * (s_tot + B))
+                - math.log((sc.get(b, 0) + 1) * (t_tot + B))
+            )
+            * 1_000_000
+        )
+        for b in range(B)
+    ]
+    score_arr = F.lit(scores).cast("array<long>")
+    weight = F.aggregate(
+        F.transform(
+            F.split("text", " ", -1),
+            lambda w: F.element_at(score_arr, (bucket(w) + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        src.select("doc_id", weight.alias("weight"))
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+_register(
+    "dsir_resample",
+    q_dsir_resample,
+    f"""
+    WITH tw AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 43 = 0
+    ), sw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 43 <> 0
+    ), tb AS (
+        SELECT ('0x' || substr(md5(w), 1, 8))::UBIGINT % {_DSIR_BUCKETS} AS b,
+               count(*) AS c
+        FROM tw GROUP BY 1
+    ), sb AS (
+        SELECT ('0x' || substr(md5(w), 1, 8))::UBIGINT % {_DSIR_BUCKETS} AS b,
+               count(*) AS c
+        FROM sw GROUP BY 1
+    ), tot AS (
+        SELECT (SELECT count(*) FROM tw) AS t_tot,
+               (SELECT count(*) FROM sw) AS s_tot
+    ), score AS (
+        SELECT r.b,
+               CAST(round((ln((COALESCE(tb.c, 0) + 1) * (s_tot + {_DSIR_BUCKETS}))
+                         - ln((COALESCE(sb.c, 0) + 1) * (t_tot + {_DSIR_BUCKETS})))
+                         * 1000000) AS BIGINT) AS sc
+        FROM (SELECT unnest(range(0, {_DSIR_BUCKETS})) AS b) r
+        LEFT JOIN tb ON tb.b = r.b
+        LEFT JOIN sb ON sb.b = r.b
+        CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(sc) AS BIGINT) AS weight
+    FROM sw
+    JOIN score ON score.b = ('0x' || substr(md5(sw.w), 1, 8))::UBIGINT % {_DSIR_BUCKETS}
+    GROUP BY doc_id
+    ORDER BY weight DESC, doc_id
+    LIMIT {_DSIR_TOPK}
     """,
 )

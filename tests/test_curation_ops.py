@@ -1,0 +1,64 @@
+"""Invariant tests for the round-4 curation operators (the value-level
+Spark-vs-DuckDB equivalence runs in scripts/check_oracles.py; these pin
+the semantic properties the hash compare cannot express)."""
+
+from pyspark.sql import functions as F
+
+from ds4sd_docling_tableformer_onnx_spark.queries import (
+    _CHUNK_LEN,
+    _CHUNK_STRIDE,
+    _DSIR_TOPK,
+    QUERIES,
+)
+from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunks_tile_every_document(spark):
+    """Chunk starts advance by exactly the stride from 0, every chunk is
+    min(CHUNK_LEN, n - start) tokens, and the final chunk reaches the
+    last token — full coverage with the designed overlap, no gaps."""
+    chunks = QUERIES["chunk_documents"](spark, SF).toPandas()
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ", -1)).alias("n"))
+        .toPandas()
+        .set_index("doc_id")["n"]
+    )
+    assert set(chunks["doc_id"]) == set(docs.index)  # every doc chunked
+    for doc_id, grp in chunks.groupby("doc_id"):
+        n = int(docs[doc_id])
+        grp = grp.sort_values("chunk_idx")
+        assert list(grp["chunk_idx"]) == list(range(len(grp)))
+        assert list(grp["start_tok"]) == [i * _CHUNK_STRIDE for i in range(len(grp))]
+        assert all(
+            int(r.n_tok) == min(_CHUNK_LEN, n - int(r.start_tok))
+            for r in grp.itertuples()
+        )
+        last = grp.iloc[-1]
+        assert int(last.start_tok) + int(last.n_tok) == n  # reaches the end
+        assert int(last.start_tok) <= n - 1  # no empty trailing chunk
+
+
+def test_cluster_split_never_straddles(spark):
+    """The leakage-safety invariant: every near-dup component lands
+    entirely on one side of the split."""
+    frame = QUERIES["cluster_split"](spark, SF)
+    pdf = frame.toPandas()
+    release(frame)
+    assert set(pdf["split"]) == {"train", "holdout"}
+    straddle = pdf.groupby("group_id")["split"].nunique()
+    assert (straddle == 1).all()
+    frac = (pdf["split"] == "holdout").mean()
+    assert 0.02 < frac < 0.25  # ~10% by hash, wide tolerance at 500 docs
+
+
+def test_dsir_topk_shape_and_order(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_src = docs.where(F.col("doc_id") % 43 != 0).count()
+    pdf = QUERIES["dsir_resample"](spark, SF).toPandas()
+    assert len(pdf) == min(_DSIR_TOPK, n_src)
+    w = list(pdf["weight"])
+    assert w == sorted(w, reverse=True)  # limit() kept the top slice
+    assert pdf["weight"].dtype.kind == "i"  # exact integer weights
