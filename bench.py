@@ -102,6 +102,8 @@ HEADLINE = [
     "chunk_documents",
     "cluster_split",
     "dsir_resample",
+    "ccnet_buckets",
+    "global_shuffle",
 ]
 
 

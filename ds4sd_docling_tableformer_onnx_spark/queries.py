@@ -546,7 +546,18 @@ _register(
 def q_interval_overlap(spark, sf_dir):
     """J1/J2: theta join on interval overlap (the bbox intersection
     predicate in one dimension), scored by overlap length (iopdf
-    analog: overlap / probe length)."""
+    analog: overlap / probe length).
+
+    Factorized aggregation (r4, sf1-driven): the probe intervals take
+    at most 50 distinct forms (s_suppkey % 50), so the pair enumeration
+    the aggregate never needed collapses to |part| x 50 against a
+    broadcast (form, multiplicity) table — the naive broadcast
+    nested-loop went 37x for 10x data at sf1 because matching PAIRS are
+    quadratic in this dense interval domain; the factorized plan is
+    linear at any corpus size.  Overlap terms are integer-valued, so
+    the weighted sum stays an exact integer and divides by 3 ONCE —
+    the rounded score is bit-stable by construction, not by summation
+    luck.  The oracle keeps the independent per-pair enumeration."""
     from pyspark.sql import functions as F
 
     part = _read(spark, sf_dir, "part")
@@ -557,18 +568,22 @@ def q_interval_overlap(spark, sf_dir):
         F.col("p_size").cast("double").alias("p_lo"),
         (F.col("p_size") + 5.0).alias("p_hi"),
     )
-    s = supplier.select(
-        "s_suppkey",
-        (F.pmod(F.col("s_suppkey"), F.lit(50)).cast("double")).alias("s_lo"),
-        (F.pmod(F.col("s_suppkey"), F.lit(50)) + 3.0).alias("s_hi"),
+    s_forms = (
+        supplier.select(
+            (F.pmod(F.col("s_suppkey"), F.lit(50)).cast("double")).alias("s_lo"),
+            (F.pmod(F.col("s_suppkey"), F.lit(50)) + 3.0).alias("s_hi"),
+        )
+        .groupBy("s_lo", "s_hi")
+        .agg(F.count("*").alias("cnt"))
     )
     joined = p.join(
-        F.broadcast(s), (F.col("p_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("p_hi"))
+        F.broadcast(s_forms),
+        (F.col("p_lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("p_hi")),
     )
-    overlap = F.least("p_hi", "s_hi") - F.greatest("p_lo", "s_lo")
+    overlap = (F.least("p_hi", "s_hi") - F.greatest("p_lo", "s_lo")).cast("long")
     return joined.groupBy("p_brand").agg(
-        F.count("*").cast("long").alias("pairs"),
-        F.round(F.sum(overlap / 3.0), 4).alias("score"),
+        F.sum("cnt").cast("long").alias("pairs"),
+        F.round(F.sum(overlap * F.col("cnt")) / 3.0, 4).alias("score"),
     )
 
 
@@ -586,7 +601,8 @@ _register(
         FROM supplier
     )
     SELECT p_brand, count(*) AS pairs,
-           round(sum((least(p_hi, s_hi) - greatest(p_lo, s_lo)) / 3.0), 4) AS score
+           round(sum(CAST(least(p_hi, s_hi) - greatest(p_lo, s_lo) AS BIGINT))
+                 / 3.0, 4) AS score
     FROM p JOIN s ON p_lo < s_hi AND s_lo < p_hi
     GROUP BY p_brand
     """,
@@ -2846,16 +2862,19 @@ _register(
 
 # ---------------------------------------------------------------------------
 # Negative sampling for retrieval training — k deterministic negatives
-# per query document.  Scale shape: the query set is BROADCAST (eval /
-# training-query sets are thousands of rows, not billions), so the
-# cross join is one narrow scan of the corpus computing |Q| cheap
-# hashes per doc — no shuffle, no |Q| x |D| materialization; the hash
-# threshold (expected ~64 survivors per query) then bounds the
-# per-query top-k window input.  For |Q| too large to broadcast, swap
-# the pair hash for a rendezvous scheme (bucket the pool by hash of
-# doc, route each query to k buckets) — same determinism, same oracle.
-# RNG-free: the md5 ranking makes the sample retry- and engine-stable
-# (same discipline as mixture_sample).
+# per query document via RENDEZVOUS ring buckets (r4, sf1-driven: the
+# previous broadcast-cross-join computed one pair hash per (q, doc) —
+# |Q| grows with the corpus, so cost was quadratic and went 23x for 10x
+# data at sf1).  Scale shape now: ONE md5 per pool doc assigns it to a
+# hash-ring bucket of ~2x the expected-candidate size (bucket count a
+# power of two derived from |pool|, identically in both engines); each
+# query deterministically probes its own bucket and the next — an
+# equi-JOIN on bucket id, so the per-query candidate set is O(expected)
+# and total work is linear in the corpus.  Pair hashes are computed
+# only for the ~2-bucket candidates, and the per-query top-k window
+# input is bounded by construction.  RNG-free: md5-derived buckets and
+# ranks make the sample retry- and engine-stable (mixture_sample
+# discipline).
 # ---------------------------------------------------------------------------
 
 _NEG_K = 5
@@ -2864,7 +2883,8 @@ _NEG_EXPECT = 64
 
 def q_negative_sample(spark, sf_dir):
     """(q_id, neg_id, rank): 5 hash-ranked negatives per eval-slice
-    query doc (doc_id % 43 == 0) drawn from the rest of the corpus."""
+    query doc (doc_id % 43 == 0) drawn from that query's rendezvous
+    ring neighborhood of the pool."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -2876,20 +2896,32 @@ def q_negative_sample(spark, sf_dir):
         F.col("doc_id").alias("neg_id")
     )
     n_pool = pool.count()
-    threshold = (4294967296 * _NEG_EXPECT) // n_pool
+    # bucket count: largest power of two <= |pool| / (2 * expected) —
+    # bucket population ~2x the candidate budget; floor(log2(x)) ==
+    # bit_length-1 for ints, mirrored by the oracle's floor(log2())
+    p2 = max(1, n_pool // (2 * _NEG_EXPECT)).bit_length() - 1
+    nb, shift = 1 << p2, 32 - p2
 
-    u32 = F.conv(
+    def u32(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    pool_b = pool.withColumn("b", F.shiftright(u32(F.col("neg_id")), shift))
+    qb = queries.withColumn("b0", F.shiftright(u32(F.col("q_id")), shift))
+    probes = (
+        qb.select("q_id", F.col("b0").alias("b"))
+        .unionByName(qb.select("q_id", ((F.col("b0") + 1) % nb).alias("b")))
+        .distinct()  # nb == 1 would probe bucket 0 twice
+    )
+    pair_u32 = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.col("q_id"), F.col("neg_id"))), 1, 8
         ),
         16,
         10,
     ).cast("long")
-    cand = (
-        F.broadcast(queries).crossJoin(pool)
-        .withColumn("u32", u32)
-        .where(F.col("u32") < threshold)
-    )
+    cand = F.broadcast(probes).join(pool_b, "b").withColumn("u32", pair_u32)
     win = Window.partitionBy("q_id").orderBy("u32", "neg_id")
     return (
         cand.withColumn("rank", F.row_number().over(win).cast("long"))
@@ -2906,16 +2938,41 @@ _register(
         SELECT doc_id AS neg_id FROM documents WHERE doc_id % 43 <> 0
     ), q AS (
         SELECT doc_id AS q_id FROM documents WHERE doc_id % 43 = 0
+    ), nb AS (
+        SELECT CAST(floor(log2(greatest((SELECT count(*) FROM pool)
+                                        // {2 * _NEG_EXPECT}, 1))) AS INT) AS p
+    ), ring AS (
+        SELECT (1 << p) AS n_buckets, 32 - p AS shift FROM nb
+    ), pool_b AS (
+        SELECT neg_id,
+               CAST(('0x' || substr(md5(CAST(neg_id AS VARCHAR)), 1, 8))::UBIGINT
+                    >> shift AS BIGINT) AS b
+        FROM pool, ring
+    ), probes AS (
+        SELECT DISTINCT q_id, b FROM (
+            SELECT q_id,
+                   CAST(h >> shift AS BIGINT) AS b
+            FROM (SELECT q_id,
+                         ('0x' || substr(md5(CAST(q_id AS VARCHAR)), 1, 8))::UBIGINT
+                             AS h
+                  FROM q), ring
+            UNION ALL
+            SELECT q_id,
+                   CAST(((h >> shift) + 1) % n_buckets AS BIGINT) AS b
+            FROM (SELECT q_id,
+                         ('0x' || substr(md5(CAST(q_id AS VARCHAR)), 1, 8))::UBIGINT
+                             AS h
+                  FROM q), ring
+        )
     ), cand AS (
-        SELECT q_id, neg_id,
-               CAST(('0x' || substr(md5(q_id || ':' || neg_id), 1, 8))::UBIGINT
+        SELECT p.q_id, pb.neg_id,
+               CAST(('0x' || substr(md5(p.q_id || ':' || pb.neg_id), 1, 8))::UBIGINT
                     AS BIGINT) AS u32
-        FROM q CROSS JOIN pool
+        FROM probes p JOIN pool_b pb USING (b)
     )
     SELECT q_id, neg_id,
            row_number() OVER (PARTITION BY q_id ORDER BY u32, neg_id) AS rank
     FROM cand
-    WHERE u32 < 4294967296 * {_NEG_EXPECT} // (SELECT count(*) FROM pool)
     QUALIFY rank <= {_NEG_K}
     """,
 )
@@ -4131,5 +4188,236 @@ _register(
     GROUP BY doc_id
     ORDER BY weight DESC, doc_id
     LIMIT {_DSIR_TOPK}
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): split every
+# language's documents into head / middle / tail terciles by LM score.
+#
+# Scale shape: CCNet assigns by comparing each doc's score to
+# per-language THRESHOLDS, never by globally ranking the corpus — so
+# there is NO per-lang window over the data.  The thresholds come from
+# a (lang, rounded-score) histogram: distinct 4-dp scores are bounded
+# by construction (~60k values spanning the logprob range), so the
+# histogram is a bounded driver-side collect (the IVF-centroid /
+# pack-offsets pattern), and assignment is a broadcast join + CASE in
+# codegen.  All compared values are INTEGERS (score scaled 1e4), so no
+# float ordering or interpolated-percentile ulp can flip a bucket.
+#
+# Tercile rule (discrete, tie-inclusive): v1 = score value at DESC
+# position ceil(n/3), v2 = at ceil(2n/3); head: s >= v1, middle:
+# v2 <= s < v1, tail: s < v2.  The oracle derives the same values via
+# a rank window — an independent construction of the same definition.
+# ---------------------------------------------------------------------------
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """(doc_id, lang, s_int, bucket) — per-lang head/middle/tail by the
+    corpus unigram LM score (s_int = round(avg_logprob * 1e4))."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from .plans.cache import adopt
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = (
+        q_unigram_logprob(spark, sf_dir)
+        .join(docs, "doc_id")
+        .withColumn("s_int", F.round(F.col("avg_logprob") * 10000).cast("long"))
+        .select("doc_id", "lang", "s_int")
+        .persist()
+    )
+    hist = scored.groupBy("lang", "s_int").count().collect()
+    by_lang = defaultdict(list)
+    for r in hist:
+        by_lang[r["lang"]].append((int(r["s_int"]), int(r["count"])))
+    rows = []
+    for lang, vc in by_lang.items():
+        vc.sort(reverse=True)
+        n = sum(c for _, c in vc)
+
+        def value_at(pos, vc=vc):
+            acc = 0
+            for v, c in vc:
+                acc += c
+                if acc >= pos:
+                    return v
+            return vc[-1][0]
+
+        rows.append((lang, value_at(math.ceil(n / 3)), value_at(math.ceil(2 * n / 3))))
+    th = F.broadcast(
+        spark.createDataFrame(rows, "lang string, v1 long, v2 long")
+    )
+    result = scored.join(th, "lang").select(
+        "doc_id",
+        "lang",
+        "s_int",
+        F.when(F.col("s_int") >= F.col("v1"), F.lit("head"))
+        .when(F.col("s_int") >= F.col("v2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return adopt(result, scored)
+
+
+_register(
+    "ccnet_buckets",
+    q_ccnet_buckets,
+    f"""
+    WITH scored AS (
+        SELECT doc_id, CAST(round(avg_logprob * 10000) AS BIGINT) AS s_int
+        FROM ({ORACLES["unigram_logprob"]})
+    ), sl AS (
+        SELECT s.doc_id, d.lang, s.s_int
+        FROM scored s JOIN documents d USING (doc_id)
+    ), ranked AS (
+        SELECT lang, s_int,
+               row_number() OVER (PARTITION BY lang ORDER BY s_int DESC) AS r,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM sl
+    ), th AS (
+        -- value at DESC positions ceil(n/3), ceil(2n/3): tie order
+        -- within equal s_int is arbitrary but the VALUE at a position
+        -- is multiset-determined, identical to the histogram walk
+        SELECT lang,
+               max(CASE WHEN r = CAST(ceil(n / 3.0) AS BIGINT) THEN s_int END) AS v1,
+               max(CASE WHEN r = CAST(ceil(2 * n / 3.0) AS BIGINT) THEN s_int END) AS v2
+        FROM ranked GROUP BY lang
+    )
+    SELECT sl.doc_id, sl.lang, sl.s_int,
+           CASE WHEN sl.s_int >= th.v1 THEN 'head'
+                WHEN sl.s_int >= th.v2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sl JOIN th USING (lang)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle — the pre-training data-order
+# primitive: every document gets a (shard, pos) slot in a pseudo-random
+# but fully deterministic, retry-stable permutation (md5-derived like
+# every sampler here — never RNG).  Scale shape: hash-sharding is a
+# narrow map; position assignment is a row_number window PER SHARD, so
+# partition size is n / n_shards — the shard count is the explicit
+# parallelism knob (at 100 TB raise shards until a shard fits a task;
+# no global sort, no single-partition window anywhere).
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SHARDS = 64
+
+
+def q_global_shuffle(spark, sf_dir):
+    """(doc_id, shard, pos): shard = u32(md5(doc_id)) % 64, pos = dense
+    position within the shard ordered by (hash, doc_id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    sharded = docs.select(
+        "doc_id", u32.alias("h"), (u32 % _SHUFFLE_SHARDS).alias("shard")
+    )
+    win = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        (F.row_number().over(win) - 1).cast("long").alias("pos"),
+    )
+
+
+_register(
+    "global_shuffle",
+    q_global_shuffle,
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(h % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % {_SHUFFLE_SHARDS}
+                                   ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+    FROM h
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Streaming keep-first exact dedup (§2.11) — ingestion-time content
+# dedup with a FULL value oracle: batch 1 lands the even-id docs,
+# batch 2 lands the odd-id docs plus re-labeled copies of every 10th
+# even doc (the bloom_dedup planted-duplicate construction), so the
+# cross-micro-batch suppression path genuinely fires.  The keeper for
+# a key is deterministic by construction — min doc_id within the
+# earliest batch containing the key — which the oracle reproduces
+# relationally.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_exact_dedup(spark, sf_dir):
+    """(text_md5, keeper_id): one keeper per distinct content key from
+    the streaming state operator."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.exactdedup import stream_exact_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_exactdedup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    b1 = docs.where("doc_id % 2 = 0")
+    b1.write.parquet(f"{in_dir}/b1")
+    docs.where("doc_id % 2 = 1").unionByName(
+        b1.where("doc_id % 10 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).write.parquet(f"{in_dir}/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    query = (
+        stream_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+_register(
+    "stream_exact_dedup",
+    q_stream_exact_dedup,
+    """
+    WITH b1 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ), b2 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM b1 WHERE doc_id % 10 = 0
+    ), per AS (
+        SELECT md5(text) AS text_md5,
+               min(CASE WHEN src = 1 THEN doc_id END) AS k1,
+               min(CASE WHEN src = 2 THEN doc_id END) AS k2
+        FROM (SELECT 1 AS src, * FROM b1 UNION ALL SELECT 2 AS src, * FROM b2)
+        GROUP BY 1
+    )
+    SELECT text_md5, CAST(COALESCE(k1, k2) AS BIGINT) AS keeper_id FROM per
     """,
 )

@@ -62,3 +62,48 @@ def test_dsir_topk_shape_and_order(spark):
     w = list(pdf["weight"])
     assert w == sorted(w, reverse=True)  # limit() kept the top slice
     assert pdf["weight"].dtype.kind == "i"  # exact integer weights
+
+
+def test_ccnet_buckets_are_ordered_terciles(spark):
+    """Within every language: every head score >= every middle score >
+    every tail score, and head holds at least ceil(n/3) docs (the
+    tie-inclusive discrete-threshold rule)."""
+    import math
+
+    frame = QUERIES["ccnet_buckets"](spark, SF)
+    pdf = frame.toPandas()
+    release(frame)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(pdf) == docs.count()  # every doc bucketed exactly once
+    for lang, grp in pdf.groupby("lang"):
+        n = len(grp)
+        head = grp[grp["bucket"] == "head"]["s_int"]
+        mid = grp[grp["bucket"] == "middle"]["s_int"]
+        tail = grp[grp["bucket"] == "tail"]["s_int"]
+        assert len(head) >= math.ceil(n / 3)
+        if len(head) and len(mid):
+            assert mid.max() < head.min()
+        if len(mid) and len(tail):
+            assert tail.max() < mid.min()
+
+
+def test_global_shuffle_is_a_permutation(spark):
+    pdf = QUERIES["global_shuffle"](spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(docs["doc_id"])  # bijection
+    for _, grp in pdf.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))  # dense slots
+
+
+def test_stream_exact_dedup_suppresses_cross_batch_dups(spark):
+    """Planted re-labeled copies (batch 2) of batch-1 docs never win:
+    every key is emitted exactly once, keepers prefer the earliest
+    batch, and no planted id (>= 1000000) survives."""
+    pdf = QUERIES["stream_exact_dedup"](spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(pdf) == n_docs  # all texts distinct -> one keeper each
+    assert pdf["text_md5"].is_unique
+    assert (pdf["keeper_id"] < 1000000).all()  # planted dups suppressed
+    # keys seen first in batch 1 (even ids) keep their even id
+    evens = pdf[pdf["keeper_id"] % 2 == 0]
+    assert len(evens) == n_docs // 2

@@ -298,11 +298,13 @@ def test_unigram_logprob_broadcasts_vocab(spark):
 
 
 def test_negative_sample_broadcasts_query_side(spark):
-    """The query set broadcasts: one narrow corpus scan per the
-    rendezvous note — never a shuffled |Q| x |D| product."""
+    """The rendezvous probes broadcast into an EQUI-join on the ring
+    bucket — never a nested-loop or shuffled |Q| x |D| product (the r4
+    rewrite; the old cross join went 23x for 10x data at sf1)."""
     from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
 
     plan = _executed_plan(QUERIES["negative_sample"](spark, "/root/testdata/sf0.001"))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
