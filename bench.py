@@ -104,6 +104,7 @@ HEADLINE = [
     "dsir_resample",
     "ccnet_buckets",
     "global_shuffle",
+    "dedup_substrings",
 ]
 
 

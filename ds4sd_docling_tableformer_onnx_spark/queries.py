@@ -4421,3 +4421,111 @@ _register(
     SELECT text_md5, CAST(COALESCE(k1, k2) AS BIGINT) AS keeper_id FROM per
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): remove every token span covered by a
+# word 8-gram that occurs more than once in the corpus (self-repetition
+# included), keeping the rest of the document intact.
+#
+# Scale shape: gram positions are built pre-explode inside one array
+# expression (xxhash64 8-byte keys — the decontaminate/dup_span_stats
+# discipline), so the ONLY wide stages are the gram-count aggregation
+# and the dup-position semi-join, both shuffling 8-byte hashes with
+# map-side combine.  Reconstruction is shuffle-free: per-doc duplicated
+# START positions collect into one bounded array (<= doc length), the
+# covered set expands inside an array expression, and the kept text is
+# a filter over the token array in whole-stage codegen.  Per-doc cost
+# is O(len x dup_starts) — bounded by document length, which an
+# upstream chunking stage bounds at corpus scale.
+# ---------------------------------------------------------------------------
+
+_SUBDUP_N = 8
+
+
+def q_dedup_substrings(spark, sf_dir):
+    """(doc_id, n_tokens, n_removed, kept_md5): tokens covered by any
+    corpus-duplicated 8-gram removed, remainder re-joined and hashed."""
+    from pyspark.sql import functions as F
+
+    from .plans.cache import adopt
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("ws"))
+    n = F.size("ws")
+    gram_structs = F.when(
+        n >= _SUBDUP_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (_SUBDUP_N - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.array_join(F.slice("ws", i, _SUBDUP_N), " ")).alias(
+                    "g"
+                ),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    grams = (
+        toks.select("doc_id", F.explode(gram_structs).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        .persist()
+    )
+    hot = grams.groupBy("g").agg(F.count("*").alias("cnt")).where("cnt >= 2")
+    starts = (
+        grams.join(hot.select("g"), "g")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (_SUBDUP_N - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        "ws", lambda w, i: ~F.array_contains(covered, (i + 1).cast("int"))
+    )
+    result = joined.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(covered).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )
+    return adopt(result, grams)
+
+
+_register(
+    "dedup_substrings",
+    q_dedup_substrings,
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(ws[i : i + {_SUBDUP_N - 1}], ' ') AS gram
+        FROM t, LATERAL (SELECT unnest(range(1, len(ws) - {_SUBDUP_N - 2})) AS i) u
+    ), hot AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+    ), dup AS (
+        SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)
+    ), cov AS (
+        SELECT DISTINCT doc_id, pos + d AS cp
+        FROM dup, LATERAL (SELECT unnest(range(0, {_SUBDUP_N})) AS d) x
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_removed, list(cp) AS cps
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+           -- DuckDB array_to_string([]) is NULL where Spark array_join
+           -- yields '' — coalesce so fully-removed docs hash md5('')
+           md5(COALESCE(array_to_string(
+               list_filter(t.ws, (w, i) -> NOT list_contains(COALESCE(a.cps, []), i)),
+               ' '), '')) AS kept_md5
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)

@@ -107,3 +107,27 @@ def test_stream_exact_dedup_suppresses_cross_batch_dups(spark):
     # keys seen first in batch 1 (even ids) keep their even id
     evens = pdf[pdf["keeper_id"] % 2 == 0]
     assert len(evens) == n_docs // 2
+
+
+def test_dedup_substrings_removal_semantics(spark):
+    """Untouched docs hash to their original single-space re-join;
+    touched docs hash to something else; removal counts are bounded by
+    doc length."""
+    import hashlib
+
+    frame = QUERIES["dedup_substrings"](spark, SF)
+    pdf = frame.toPandas()
+    release(frame)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").toPandas()
+    merged = pdf.merge(docs, on="doc_id")
+    assert len(merged) == len(docs)
+    assert (merged["n_removed"] <= merged["n_tokens"]).all()
+    assert (merged["n_removed"] > 0).any()  # the corpus does contain dups
+    for r in merged.itertuples():
+        orig = hashlib.md5(" ".join(r.text.split(" ")).encode()).hexdigest()
+        if r.n_removed == 0:
+            assert r.kept_md5 == orig
+        elif r.n_removed == r.n_tokens:
+            assert r.kept_md5 == hashlib.md5(b"").hexdigest()
+        else:
+            assert r.kept_md5 != orig
