@@ -105,6 +105,7 @@ HEADLINE = [
     "ccnet_buckets",
     "global_shuffle",
     "dedup_substrings",
+    "c4_filters",
 ]
 
 

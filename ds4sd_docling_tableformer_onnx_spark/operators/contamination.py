@@ -124,3 +124,71 @@ def duplicated_span_stats(
             F.coalesce(F.sum("is_dup"), F.lit(0)).cast("double") / F.count("*"), 6
         ).alias("dup_frac"),
     )
+
+
+def strip_duplicated_substrings(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021 shape): remove every token
+    span covered by a word ``n``-gram occurring more than once in the
+    corpus (self-repetition included); ``text_col`` is REPLACED by the
+    re-joined remainder.  Adds ``n_tokens_pre`` / ``n_sub_removed``.
+
+    Scale shape: gram (pos, xxhash64) structs are built pre-explode in
+    one array expression, so the only wide stages are the gram-count
+    aggregation and the dup-position semi-join — both shuffle 8-byte
+    hashes with map-side combine.  Reconstruction is shuffle-free:
+    per-doc duplicated starts collect into one bounded array, covered
+    positions expand inside an array expression, and the kept text is
+    a codegen filter over the token array.  The gram table is persisted
+    (two consumers) and handed to the caller via plans/cache.adopt.
+    """
+    from ..plans.cache import adopt
+
+    toks = docs.select(id_col, F.split(text_col, " ", -1).alias("_ws"))
+    nw = F.size("_ws")
+    gram_structs = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.xxhash64(F.array_join(F.slice("_ws", i, n), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
+    grams = (
+        toks.select(id_col, F.explode(gram_structs).alias("pg"))
+        .select(id_col, F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        .persist()
+    )
+    hot = grams.groupBy("g").agg(F.count("*").alias("cnt")).where("cnt >= 2")
+    starts = (
+        grams.join(hot.select("g"), "g")
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_starts"))
+    )
+    joined = docs.withColumn("_ws", F.split(text_col, " ", -1)).join(
+        starts, id_col, "left"
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (n - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        "_ws", lambda w, i: ~F.array_contains(covered, (i + 1).cast("int"))
+    )
+    result = (
+        joined.withColumn("n_tokens_pre", F.size("_ws").cast("long"))
+        .withColumn("n_sub_removed", F.size(covered).cast("long"))
+        .withColumn(text_col, F.array_join(kept, " "))
+        .drop("_ws", "_starts")
+    )
+    return adopt(result, grams)

@@ -4445,56 +4445,24 @@ _SUBDUP_N = 8
 
 def q_dedup_substrings(spark, sf_dir):
     """(doc_id, n_tokens, n_removed, kept_md5): tokens covered by any
-    corpus-duplicated 8-gram removed, remainder re-joined and hashed."""
+    corpus-duplicated 8-gram removed, remainder re-joined and hashed.
+    The stripping itself is the shared operator
+    (operators/contamination.py:strip_duplicated_substrings, also the
+    curate job's --strip-dup-substrings stage)."""
     from pyspark.sql import functions as F
 
-    from .plans.cache import adopt
+    from .operators.contamination import strip_duplicated_substrings
+    from .plans.cache import adopt, cached_inputs
 
     docs = _read(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("ws"))
-    n = F.size("ws")
-    gram_structs = F.when(
-        n >= _SUBDUP_N,
-        F.transform(
-            F.sequence(F.lit(1), n - (_SUBDUP_N - 1)),
-            lambda i: F.struct(
-                i.alias("pos"),
-                F.xxhash64(F.array_join(F.slice("ws", i, _SUBDUP_N), " ")).alias(
-                    "g"
-                ),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:bigint>>"))
-    grams = (
-        toks.select("doc_id", F.explode(gram_structs).alias("pg"))
-        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
-        .persist()
-    )
-    hot = grams.groupBy("g").agg(F.count("*").alias("cnt")).where("cnt >= 2")
-    starts = (
-        grams.join(hot.select("g"), "g")
-        .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("starts"))
-    )
-    joined = toks.join(starts, "doc_id", "left")
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
-                lambda s: F.sequence(s, s + (_SUBDUP_N - 1)),
-            )
-        )
-    )
-    kept = F.filter(
-        "ws", lambda w, i: ~F.array_contains(covered, (i + 1).cast("int"))
-    )
-    result = joined.select(
+    stripped = strip_duplicated_substrings(docs, n=_SUBDUP_N)
+    result = stripped.select(
         "doc_id",
-        F.size("ws").cast("long").alias("n_tokens"),
-        F.size(covered).cast("long").alias("n_removed"),
-        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+        F.col("n_tokens_pre").alias("n_tokens"),
+        F.col("n_sub_removed").alias("n_removed"),
+        F.md5("text").alias("kept_md5"),
     )
-    return adopt(result, grams)
+    return adopt(result, *cached_inputs(stripped))
 
 
 _register(
@@ -4527,5 +4495,67 @@ _register(
                list_filter(t.ws, (w, i) -> NOT list_contains(COALESCE(a.cps, []), i)),
                ' '), '')) AS kept_md5
     FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# C4/Gopher-style heuristic filter cascade (Raffel et al. 2020; Rae et
+# al. 2021): the rule battery every web-corpus pipeline starts with,
+# emitted per-doc so the funnel (which rule dropped what) is auditable.
+# Rules adapted to this punctuation-free corpus: the classic
+# terminal-punctuation check is replaced by the Gopher consecutive-
+# repetition screen, which actually discriminates here.  Entirely
+# whole-stage-codegen expressions — no UDF, no shuffle; the mean-word-
+# length band cross-multiplies integers (9n <= 2*chars <= 13n, i.e.
+# mean in [4.5, 6.5]) so no float ever reaches the hash.
+# ---------------------------------------------------------------------------
+
+
+def q_c4_filters(spark, sf_dir):
+    """(doc_id, r_min_words, r_no_triple_repeat, r_max_word_len,
+    r_no_braces, r_word_len_band, keep) — heuristic rule battery (the
+    ONE shared definition: functions/rules.py, also the curate job's
+    --rule-filter stage)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .functions.rules import heuristic_rules
+
+    docs = _read(spark, sf_dir, "documents")
+    rules = heuristic_rules("text")
+    out = docs.select(
+        "doc_id", *[col.alias(name) for name, col in rules.items()]
+    )
+    return out.withColumn(
+        "keep", reduce(lambda a, b: a & b, [F.col(name) for name in rules])
+    )
+
+
+_register(
+    "c4_filters",
+    q_c4_filters,
+    """
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+    ), r AS (
+        SELECT doc_id,
+               len(ws) >= 20 AS r_min_words,
+               len(list_filter(range(1, len(ws) - 1),
+                               i -> ws[i] = ws[i + 1] AND ws[i] = ws[i + 2])) = 0
+                   AS r_no_triple_repeat,
+               list_max(list_transform(ws, w -> length(w))) <= 30
+                   AS r_max_word_len,
+               NOT contains(text, '{') AS r_no_braces,
+               9 * len(ws) <= 2 * list_sum(list_transform(ws, w -> length(w)))
+                   AND 2 * list_sum(list_transform(ws, w -> length(w)))
+                       <= 13 * len(ws) AS r_word_len_band
+        FROM t
+    )
+    SELECT doc_id, r_min_words, r_no_triple_repeat, r_max_word_len,
+           r_no_braces, r_word_len_band,
+           r_min_words AND r_no_triple_repeat AND r_max_word_len
+               AND r_no_braces AND r_word_len_band AS keep
+    FROM r
     """,
 )

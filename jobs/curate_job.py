@@ -12,6 +12,10 @@ documents table.
 Pipeline (each stage a documented scale shape, all oracle-checked in
 queries.py at small scale):
 
+0. optional pre-stages: --rule-filter (C4/Gopher heuristic battery,
+   pure codegen — the c4_filters oracle semantics) and
+   --strip-dup-substrings (exact substring dedup, Lee et al. 2021 —
+   the dedup_substrings oracle semantics, text replaced in place);
 1. near-dup GROUPS: simhash signatures -> banded candidate pairs
    (hamming <= --hamming) -> connected components (hash-min label
    propagation) -> one canonical survivor per group (smallest doc_id);
@@ -58,6 +62,8 @@ def curate(
     emb_docs=None,
     sem_threshold: float = 0.85,
     sem_lists: int = 8,
+    rule_filter: bool = False,
+    strip_substrings: bool = False,
 ):
     """documents (doc_id, text, lang, source, ...) -> curated, packed
     survivors.  Returns (result_df, stats_dict).
@@ -75,6 +81,20 @@ def curate(
       cluster cosine > ``sem_threshold`` to a smaller id).  Catches
       paraphrase-level duplicates the token-level simhash stage
       cannot.
+
+    Optional pre-dedup stages:
+    - ``rule_filter``: drop documents failing the C4/Gopher heuristic
+      battery (functions/rules.py — the same definition as the
+      ``c4_filters`` oracle) before any expensive stage runs;
+    - ``strip_substrings``: exact substring dedup (Lee et al. 2021;
+      operators/contamination.strip_duplicated_substrings) — token
+      spans covered by corpus-duplicated word 8-grams are removed from
+      the text BEFORE the near-dup/signal stages, so every downstream
+      token count sees the stripped corpus.
+
+    Every output row also carries ``split`` ('train'/'holdout', ~10%),
+    hashed on the near-dup GROUP id so no holdout doc has a near-dup
+    in train (the ``cluster_split`` oracle semantics).
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -92,6 +112,37 @@ def curate(
     from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
 
     n_input = docs.count()
+
+    # 0a. heuristic rule battery (cheapest stage runs first: pure
+    # codegen predicates, no shuffle — every doc dropped here skips the
+    # gram/simhash stages entirely)
+    n_rule_dropped = 0
+    if rule_filter:
+        from functools import reduce
+
+        from ds4sd_docling_tableformer_onnx_spark.functions.rules import (
+            heuristic_rules,
+        )
+
+        keep = reduce(lambda a, b: a & b, heuristic_rules("text").values())
+        docs = docs.where(keep)
+        n_rule_dropped = n_input - docs.count()
+
+    # 0b. exact substring dedup: strip corpus-duplicated 8-gram spans
+    # from the text itself so the near-dup signatures and every token
+    # count downstream see the deduplicated corpus
+    stripped = None
+    n_sub_tokens_removed = 0
+    if strip_substrings:
+        from ds4sd_docling_tableformer_onnx_spark.operators.contamination import (
+            strip_duplicated_substrings,
+        )
+
+        stripped = strip_duplicated_substrings(docs)
+        n_sub_tokens_removed = int(
+            stripped.agg(F.sum("n_sub_removed")).collect()[0][0] or 0
+        )
+        docs = stripped.drop("n_tokens_pre", "n_sub_removed")
 
     # 1. near-dup groups -> canonical survivor per group.  survivors is
     # persisted: the hygiene counts, the sampling filter, and the
@@ -143,10 +194,20 @@ def curate(
     toks = F.size(F.split("text", " ", -1)).cast("long")
     survivors = survivors.withColumn("n_tokens", toks)
 
+    # 3b. leakage-safe split hashed on the GROUP id (cluster_split
+    # oracle semantics): an entire near-dup component lands on one side
+    grp_u32 = F.conv(
+        F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    survivors = survivors.withColumn(
+        "split",
+        F.when(grp_u32 % 10 == 0, F.lit("holdout")).otherwise(F.lit("train")),
+    )
+
     # 4. deterministic mixture sample: srcK keeps 1/2^(K%4) — the ONE
     # shared predicate (functions/sampling.py, same as the oracle query)
     sampled = survivors.where(mixture_keep("doc_id", "source")).select(
-        "doc_id", "source", "lang", "n_tokens", "group_id", "group_size"
+        "doc_id", "source", "lang", "n_tokens", "group_id", "group_size", "split"
     )
 
     # 5. two-phase sequence packing (scale shape: range-partition ->
@@ -198,6 +259,7 @@ def curate(
             "n_tokens",
             "group_id",
             "group_size",
+            "split",
             F.floor(F.col("before") / max_seq_len).cast("long").alias("start_seq"),
             (F.col("before") % max_seq_len).cast("long").alias("offset_in_seq"),
             (
@@ -211,6 +273,8 @@ def curate(
     )
     stats = {
         "input_docs": n_input,
+        "rule_dropped": int(n_rule_dropped),
+        "substring_tokens_removed": int(n_sub_tokens_removed),
         "contaminated_dropped": int(n_contaminated),
         "repetitive_dropped": int(n_repetitive),
         "semantic_dropped": int(n_semantic),
@@ -219,6 +283,9 @@ def curate(
         "sequences": int(-(-acc // max_seq_len)) if acc else 0,
     }
     release(cand)
+    if stripped is not None:
+        # safe: packing reads from the eager localCheckpoint
+        release(stripped)
     if sem is not None:
         # safe here for the same reason as survivors_base below: the
         # packing output reads from the eager localCheckpoint
@@ -255,6 +322,16 @@ def main(argv=None):
         help="within-cluster cosine above which a higher-id survivor drops",
     )
     parser.add_argument(
+        "--rule-filter", action="store_true",
+        help="drop documents failing the C4/Gopher heuristic battery "
+        "(functions/rules.py) before any expensive stage",
+    )
+    parser.add_argument(
+        "--strip-dup-substrings", action="store_true",
+        help="exact substring dedup: remove corpus-duplicated word "
+        "8-gram spans from the text before the near-dup stages",
+    )
+    parser.add_argument(
         "--sf-dir", default=None,
         help="read documents from <sf-dir>/documents.parquet (smoke runs)",
     )
@@ -282,6 +359,8 @@ def main(argv=None):
         max_dup_frac=args.max_dup_frac,
         emb_docs=emb_docs,
         sem_threshold=args.sem_threshold,
+        rule_filter=args.rule_filter,
+        strip_substrings=args.strip_dup_substrings,
     )
     packed.write.mode("overwrite").parquet(args.output)
     stats["wall_sec"] = round(time.perf_counter() - t0, 3)

@@ -157,3 +157,37 @@ def test_curate_hygiene_stages(spark, docs):
     filtered_ids = {r["doc_id"] for r in filtered.select("doc_id").collect()}
     assert fstats["repetitive_dropped"] >= 1
     assert filtered_ids < base_ids
+
+
+def test_curate_rule_and_substring_stages(spark):
+    """--rule-filter drops battery failures up front; --strip-dup-
+    substrings removes corpus-duplicated spans BEFORE signals (token
+    counts must see the stripped corpus); every output row carries a
+    group-hashed split that never straddles a near-dup component."""
+    from curate_job import curate
+
+    common = " ".join(f"shared{j}" for j in range(10))
+    rows = []
+    for i in range(40):
+        filler = " ".join(f"u{i}x{j}" for j in range(25))
+        text = (common + " " + filler) if i % 2 == 0 else filler
+        rows.append((str(i), text, f"src{i % 3}", "en"))
+    for i in range(40, 50):  # rule-battery failures (too short)
+        rows.append((str(i), "tiny doc", f"src{i % 3}", "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id string, text string, source string, lang string"
+    )
+
+    packed, stats = curate(
+        spark, docs, max_seq_len=64, rule_filter=True, strip_substrings=True
+    )
+    pdf = packed.toPandas()
+    assert stats["rule_dropped"] == 10
+    # every even doc loses exactly the 10-token shared span (its three
+    # interior 8-grams repeat across 20 docs; filler grams are unique)
+    assert stats["substring_tokens_removed"] == 20 * 10
+    # token counts reflect the STRIPPED text: all survivors are now the
+    # 25-token filler
+    assert (pdf["n_tokens"] == 25).all()
+    assert set(pdf["split"]) <= {"train", "holdout"}
+    assert (pdf.groupby("group_id")["split"].nunique() == 1).all()
