@@ -308,3 +308,34 @@ def test_negative_sample_broadcasts_query_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_and_rule_filter_plans_are_shuffle_free(spark):
+    """chunk_documents and c4_filters are pure narrow map(+generate)
+    stages: a scan that chunks or rule-scores 100 TB must never
+    exchange a byte."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    for name in ("chunk_documents", "c4_filters"):
+        plan = _executed_plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, name
+
+
+def test_dsir_scoring_pass_is_narrow_takeordered(spark):
+    """After the two bounded bucket-histogram collects, DSIR scoring is
+    one shuffle-free codegen pass ending in TakeOrdered — no join, no
+    window, no Exchange."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["dsir_resample"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_global_shuffle_has_exactly_one_exchange(spark):
+    """The only wide stage is the per-shard window partitioning —
+    shard count is the parallelism knob, nothing else shuffles."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["global_shuffle"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1
