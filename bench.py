@@ -106,6 +106,8 @@ HEADLINE = [
     "global_shuffle",
     "dedup_substrings",
     "c4_filters",
+    "scd2_dimension",
+    "contrastive_triplets",
 ]
 
 

@@ -4559,3 +4559,216 @@ _register(
     FROM r
     """,
 )
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build — the classic warehouse type-2 slowly-changing
+# dimension derived from an event stream: consecutive runs of the same
+# tracked attribute collapse into validity intervals (valid_from,
+# valid_to, is_current).  Scale shape: both windows partition by
+# user_id (bounded by per-user event counts — the sessionize shuffle
+# key), the run-collapse is an aggregation, and all emitted times are
+# exact integer epoch-microseconds so no timestamp dtype or timezone
+# subtlety can reach the hash (valid_to = -1 marks the open/current
+# version instead of a NULL that would float-ify the pandas column).
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_dimension(spark, sf_dir):
+    """(user_id, version, event_type, valid_from_us, valid_to_us,
+    is_current): type-2 dimension of each user's event_type runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changed = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    ver = ev.withColumn("chg", changed).withColumn(
+        "version", F.sum("chg").over(w).cast("long")
+    )
+    # ts is TIMESTAMP_NTZ: cast through timestamp (session tz pinned
+    # UTC) exactly like sessionize's micros idiom
+    dim = ver.groupBy("user_id", "version", "event_type").agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("valid_from_us")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from_us").over(w2)
+    return dim.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(-1)).cast("long").alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+_register(
+    "scd2_dimension",
+    q_scd2_dimension,
+    """
+    WITH runs AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ver AS (
+        SELECT user_id, event_type, ts,
+               CAST(sum(chg) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS version
+        FROM runs
+    ), dim AS (
+        SELECT user_id, version, event_type,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us
+        FROM ver GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, version, event_type, valid_from_us,
+           CAST(COALESCE(lead(valid_from_us) OVER w2, -1) AS BIGINT)
+               AS valid_to_us,
+           lead(valid_from_us) OVER w2 IS NULL AS is_current
+    FROM dim
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining — turn the dedup structure into training
+# data: for every document with a near-duplicate, emit (anchor,
+# positive, negative) where the positive is its closest simhash
+# neighbor (min hamming, min id tie-break) and the negative is drawn
+# from the anchor's rendezvous ring bucket (the negative_sample
+# construction — one md5 per corpus doc, equi-join on bucket, bounded
+# per-anchor candidates, md5-ranked pick).  Everything is hash-derived
+# and engine-replicable; the join on the ring bucket is a plain equi-
+# join (AQE broadcasts if the anchor side is small — at corpus scale
+# both sides shuffle on the bucket key, each bucket bounded ~2x the
+# candidate budget).
+# ---------------------------------------------------------------------------
+
+
+def q_contrastive_triplets(spark, sf_dir):
+    """(anchor_id, pos_id, neg_id): one triplet per document that has a
+    simhash near-dup at hamming <= 3."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = simhash_candidates(simhash_column(docs))
+    edges = cand.where(F.col("hamming") <= 3)
+    sym = edges.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id"), "hamming"
+    ).unionByName(
+        edges.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("pos_id"), "hamming"
+        )
+    )
+    wpos = Window.partitionBy("anchor_id").orderBy("hamming", "pos_id")
+    pos = (
+        sym.withColumn("rn", F.row_number().over(wpos))
+        .where("rn = 1")
+        .select("anchor_id", "pos_id")
+    )
+
+    n_docs = docs.count()
+    p2 = max(1, n_docs // (2 * _NEG_EXPECT)).bit_length() - 1
+    nb, shift = 1 << p2, 32 - p2
+
+    def u32(col):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    pool_b = docs.select(F.col("doc_id").alias("neg_id")).withColumn(
+        "b", F.shiftright(u32(F.col("neg_id")), shift)
+    )
+    ab = pos.withColumn("b0", F.shiftright(u32(F.col("anchor_id")), shift))
+    probes = (
+        ab.select("anchor_id", "pos_id", F.col("b0").alias("b"))
+        .unionByName(
+            ab.select("anchor_id", "pos_id", ((F.col("b0") + 1) % nb).alias("b"))
+        )
+        .distinct()
+    )
+    pair_u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("neg_id"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand2 = (
+        probes.join(pool_b, "b")
+        .where(
+            (F.col("neg_id") != F.col("anchor_id"))
+            & (F.col("neg_id") != F.col("pos_id"))
+        )
+        .withColumn("u32", pair_u32)
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy("u32", "neg_id")
+    trip = (
+        cand2.withColumn("rn", F.row_number().over(wneg))
+        .where("rn = 1")
+        .select("anchor_id", "pos_id", "neg_id")
+    )
+    return adopt(trip, *cached_inputs(cand))
+
+
+_register(
+    "contrastive_triplets",
+    q_contrastive_triplets,
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT id_a, id_b, hamming FROM ({_SIMHASH_PAIRS_SQL})
+        WHERE hamming <= 3
+    ), sym AS (
+        SELECT id_a AS anchor_id, id_b AS pos_id, hamming FROM pairs
+        UNION ALL
+        SELECT id_b AS anchor_id, id_a AS pos_id, hamming FROM pairs
+    ), pos AS (
+        SELECT anchor_id, pos_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY hamming, pos_id) AS rn
+            FROM sym
+        ) WHERE rn = 1
+    ), nbp AS (
+        SELECT CAST(floor(log2(greatest((SELECT count(*) FROM documents)
+                                        // {2 * _NEG_EXPECT}, 1))) AS INT) AS p
+    ), ring AS (
+        SELECT (1 << p) AS n_buckets, 32 - p AS shift FROM nbp
+    ), pool_b AS (
+        SELECT doc_id AS neg_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    >> shift AS BIGINT) AS b
+        FROM documents, ring
+    ), ah AS (
+        SELECT anchor_id, pos_id,
+               ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+        FROM pos
+    ), probes AS (
+        SELECT DISTINCT anchor_id, pos_id, b FROM (
+            SELECT anchor_id, pos_id, CAST(h >> shift AS BIGINT) AS b
+            FROM ah, ring
+            UNION ALL
+            SELECT anchor_id, pos_id,
+                   CAST(((h >> shift) + 1) % n_buckets AS BIGINT) AS b
+            FROM ah, ring
+        )
+    ), cand AS (
+        SELECT p.anchor_id, p.pos_id, pb.neg_id,
+               CAST(('0x' || substr(md5(p.anchor_id || ':' || pb.neg_id), 1, 8))::UBIGINT
+                    AS BIGINT) AS u32
+        FROM probes p JOIN pool_b pb USING (b)
+        WHERE pb.neg_id <> p.anchor_id AND pb.neg_id <> p.pos_id
+    )
+    SELECT anchor_id, pos_id, neg_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY u32, neg_id) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)

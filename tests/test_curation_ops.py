@@ -131,3 +131,32 @@ def test_dedup_substrings_removal_semantics(spark):
             assert r.kept_md5 == hashlib.md5(b"").hexdigest()
         else:
             assert r.kept_md5 != orig
+
+
+def test_scd2_intervals_are_contiguous_and_dense(spark):
+    pdf = QUERIES["scd2_dimension"](spark, SF).toPandas()
+    for user, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("version").reset_index(drop=True)
+        assert list(grp["version"]) == list(range(1, len(grp) + 1))  # dense
+        # contiguous validity chain, exactly one open (current) version
+        for i in range(len(grp) - 1):
+            assert grp.loc[i, "valid_to_us"] == grp.loc[i + 1, "valid_from_us"]
+            assert not grp.loc[i, "is_current"]
+            # a new version exists only because the attribute changed
+            assert grp.loc[i, "event_type"] != grp.loc[i + 1, "event_type"]
+        assert grp.iloc[-1]["valid_to_us"] == -1
+        assert bool(grp.iloc[-1]["is_current"])
+
+
+def test_contrastive_triplets_are_well_formed(spark):
+    frame = QUERIES["contrastive_triplets"](spark, SF)
+    pdf = frame.toPandas()
+    release(frame)
+    assert len(pdf) > 0
+    assert pdf["anchor_id"].is_unique  # one triplet per anchor
+    assert (pdf["pos_id"] != pdf["anchor_id"]).all()
+    assert (pdf["neg_id"] != pdf["anchor_id"]).all()
+    assert (pdf["neg_id"] != pdf["pos_id"]).all()
+    # positives are symmetric: if a anchors b as positive, b is also an
+    # anchor (it has a near-dup by construction)
+    assert set(pdf["pos_id"]) <= set(pdf["anchor_id"])
