@@ -21,14 +21,28 @@ silently drop the row (ADVICE r3 medium).  The oracle mirrors the same
 from __future__ import annotations
 
 
+def u32_md5(col):
+    """First 32 bits of md5(CAST(col AS STRING)) as a non-negative
+    long — THE hash-uniform integer every deterministic sampler/router
+    here derives from (mixture sampling, cluster splits, rendezvous
+    ring buckets, the global shuffle, DSIR feature buckets).  ONE
+    definition so no site can drift from the DuckDB replication:
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::UBIGINT``."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def mixture_keep(id_col: str = "doc_id", source_col: str = "source"):
     """Boolean Column: does this (id, source) row survive the mixture
     sample?"""
     from pyspark.sql import functions as F
 
-    u32 = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    u32 = u32_md5(id_col)
     threshold = F.expr(
         "shiftright(CAST(4294967296 AS BIGINT), "
         "coalesce(try_cast(regexp_extract("

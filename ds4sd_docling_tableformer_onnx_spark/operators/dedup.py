@@ -237,16 +237,26 @@ def bloom_prefilter(
         )
         .distinct()
     )
-    probe_positions = probe_df.select(
-        "*", F.explode(bloom_key_positions(F.col(key_col), m, n_hashes)).alias("pos")
+    # Membership is a property of the KEY, so it is computed once per
+    # DISTINCT key and joined back — never grouped by the probe row's
+    # value tuple (that collapsed duplicate probe ROWS into one group,
+    # doubling the hit count and silently clearing maybe_dup for true
+    # duplicates: a false NEGATIVE, the one failure class a bloom
+    # filter must never have).  Also cheaper: the position explode and
+    # the semi-join run over distinct keys, not rows.
+    key_positions = (
+        probe_df.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(bloom_key_positions(F.col(key_col), m, n_hashes)).alias("pos"),
+        )
     )
-    hits = (
-        probe_positions.join(build_positions, "pos", "left_semi")
-        .groupBy(*probe_df.columns)
-        .agg(F.count("*").alias("_hits"))
+    key_hits = (
+        key_positions.join(build_positions, "pos", "left_semi")
+        .groupBy(key_col)
+        .agg((F.count("*") == n_hashes).alias("maybe_dup"))
     )
-    return (
-        probe_df.join(hits, probe_df.columns, "left")
-        .withColumn("maybe_dup", F.coalesce(F.col("_hits") == n_hashes, F.lit(False)))
-        .drop("_hits")
+    return probe_df.join(key_hits, key_col, "left").withColumn(
+        "maybe_dup", F.coalesce(F.col("maybe_dup"), F.lit(False))
     )

@@ -2902,25 +2902,16 @@ def q_negative_sample(spark, sf_dir):
     p2 = max(1, n_pool // (2 * _NEG_EXPECT)).bit_length() - 1
     nb, shift = 1 << p2, 32 - p2
 
-    def u32(col):
-        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
+    from .functions.sampling import u32_md5
 
-    pool_b = pool.withColumn("b", F.shiftright(u32(F.col("neg_id")), shift))
-    qb = queries.withColumn("b0", F.shiftright(u32(F.col("q_id")), shift))
+    pool_b = pool.withColumn("b", F.shiftright(u32_md5("neg_id"), shift))
+    qb = queries.withColumn("b0", F.shiftright(u32_md5("q_id"), shift))
     probes = (
         qb.select("q_id", F.col("b0").alias("b"))
         .unionByName(qb.select("q_id", ((F.col("b0") + 1) % nb).alias("b")))
         .distinct()  # nb == 1 would probe bucket 0 twice
     )
-    pair_u32 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("q_id"), F.col("neg_id"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    pair_u32 = u32_md5(F.concat_ws(":", F.col("q_id"), F.col("neg_id")))
     cand = F.broadcast(probes).join(pool_b, "b").withColumn("u32", pair_u32)
     win = Window.partitionBy("q_id").orderBy("u32", "neg_id")
     return (
@@ -3831,17 +3822,18 @@ def q_semantic_dedup(spark, sf_dir):
         F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
     )
 
-    # independent re-check: join kept rows back to their RAW vectors,
-    # re-normalize, and re-score every within-cluster kept pair from
-    # scratch (same normalize-then-dot arithmetic as the operator, so a
+    # independent re-check: join ALL rows back to their RAW vectors,
+    # re-normalize, and re-score within-cluster pairs from scratch
+    # (same normalize-then-dot arithmetic as the operator, so a
     # threshold-boundary pair cannot flip between the two passes)
-    kept = normalize_column(
-        res.where("kept")
-        .join(emb, res["id"] == emb["vec_id"])
-        .select("id", "cluster", "embedding"),
+    allv = normalize_column(
+        res.join(emb, res["id"] == emb["vec_id"]).select(
+            "id", "cluster", "kept", "embedding"
+        ),
         vec_col="embedding",
         out_col="nv",
-    ).select("id", "cluster", "nv")
+    ).select("id", "cluster", "kept", "nv")
+    kept = allv.where("kept").select("id", "cluster", "nv")
     a, b = kept.alias("a"), kept.alias("b")
     kept_viol = (
         a.join(
@@ -3852,16 +3844,31 @@ def q_semantic_dedup(spark, sf_dir):
         .where(F.round(_dot(F.col("a.nv"), F.col("b.nv")), 6) > _SEMDEDUP_TAU)
         .agg(F.count("*").alias("n_viol"))
     )
-
+    # witness re-check: every DROPPED row must have a smaller-id
+    # same-cluster neighbor above the threshold (the operator's exact
+    # drop rule — the witness itself may be kept or dropped)
+    d, w = allv.where("NOT kept").alias("d"), allv.alias("w")
+    witnessed = (
+        d.join(
+            w,
+            (F.col("w.cluster") == F.col("d.cluster"))
+            & (F.col("w.id") < F.col("d.id"))
+            & (F.round(_dot(F.col("w.nv"), F.col("d.nv")), 6) > _SEMDEDUP_TAU),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_witnessed"))
+    )
     n_input = emb.agg(F.count("*").alias("n_input"))
     verdict = (
         n_input.crossJoin(stats)
         .crossJoin(kept_viol)
+        .crossJoin(witnessed)
         .select(
             F.lit("semdedup").alias("method"),
             F.col("n_input").cast("long").alias("n_input"),
             ((F.col("n_rows") == F.col("n_input")) & (F.col("n_ids") == F.col("n_input"))).alias("partition_ok"),
             (F.col("n_viol") == 0).alias("kept_pairs_ok"),
+            (F.col("n_witnessed") == F.col("n_dropped")).alias("witness_ok"),
             (F.col("n_dropped") > 0).alias("some_dropped"),
         )
     )
@@ -3876,6 +3883,7 @@ _register(
            (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_input,
            TRUE AS partition_ok,
            TRUE AS kept_pairs_ok,
+           TRUE AS witness_ok,
            TRUE AS some_dropped
     """,
 )
@@ -4034,13 +4042,13 @@ def q_cluster_split(spark, sf_dir):
     from .operators.graph import dedup_groups
     from .plans.cache import adopt, cached_inputs
 
+    from .functions.sampling import u32_md5
+
     docs = _read(spark, sf_dir, "documents")
     cand = simhash_candidates(simhash_column(docs))
     edges = cand.where(F.col("hamming") <= 3)
     groups = dedup_groups(docs, edges, id_col="doc_id")
-    u32 = F.conv(
-        F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    u32 = u32_md5("group_id")
     result = groups.select(
         "doc_id",
         "group_id",
@@ -4102,10 +4110,17 @@ def q_dsir_resample(spark, sf_dir):
     B = _DSIR_BUCKETS
     docs = _read(spark, sf_dir, "documents")
 
+    from .functions.sampling import u32_md5
+
     def bucket(col):
-        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % B
+        return u32_md5(col) % B
 
     words = F.explode(F.split("text", " ", -1)).alias("w")
+    # NULL-text guard, mirrored in the oracle: a NULL text explodes to
+    # zero rows in DuckDB's unnest (vanishing from its GROUP BY) but
+    # would still emit a NULL-weight row from the Spark select below —
+    # filter identically on both sides so the row sets cannot diverge
+    docs = docs.where(F.col("text").isNotNull())
     tgt = docs.where(F.col("doc_id") % 43 == 0).select(words)
     src = docs.where(F.col("doc_id") % 43 != 0)
 
@@ -4157,10 +4172,10 @@ _register(
     f"""
     WITH tw AS (
         SELECT unnest(string_split(text, ' ')) AS w
-        FROM documents WHERE doc_id % 43 = 0
+        FROM documents WHERE doc_id % 43 = 0 AND text IS NOT NULL
     ), sw AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        FROM documents WHERE doc_id % 43 <> 0
+        FROM documents WHERE doc_id % 43 <> 0 AND text IS NOT NULL
     ), tb AS (
         SELECT ('0x' || substr(md5(w), 1, 8))::UBIGINT % {_DSIR_BUCKETS} AS b,
                count(*) AS c
@@ -4316,10 +4331,10 @@ def q_global_shuffle(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from .functions.sampling import u32_md5
+
     docs = _read(spark, sf_dir, "documents")
-    u32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    u32 = u32_md5("doc_id")
     sharded = docs.select(
         "doc_id", u32.alias("h"), (u32 % _SHUFFLE_SHARDS).alias("shard")
     )
@@ -4375,13 +4390,18 @@ def q_stream_exact_dedup(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="stream_exactdedup_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # ONE file per batch dir (coalesce(1)): with maxFilesPerTrigger=1
+    # every part FILE is its own micro-batch, and the oracle's keeper
+    # rule (min id within the earliest BATCH containing the key) is
+    # only batch-atomic if batch == file — multi-part batch dirs would
+    # make the keeper depend on which part file a duplicate landed in.
     b1 = docs.where("doc_id % 2 = 0")
-    b1.write.parquet(f"{in_dir}/b1")
+    b1.coalesce(1).write.parquet(f"{in_dir}/b1")
     docs.where("doc_id % 2 = 1").unionByName(
         b1.where("doc_id % 10 = 0").select(
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
-    ).write.parquet(f"{in_dir}/b2")
+    ).coalesce(1).write.parquet(f"{in_dir}/b2")
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -4678,15 +4698,12 @@ def q_contrastive_triplets(spark, sf_dir):
     p2 = max(1, n_docs // (2 * _NEG_EXPECT)).bit_length() - 1
     nb, shift = 1 << p2, 32 - p2
 
-    def u32(col):
-        return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        )
+    from .functions.sampling import u32_md5
 
     pool_b = docs.select(F.col("doc_id").alias("neg_id")).withColumn(
-        "b", F.shiftright(u32(F.col("neg_id")), shift)
+        "b", F.shiftright(u32_md5("neg_id"), shift)
     )
-    ab = pos.withColumn("b0", F.shiftright(u32(F.col("anchor_id")), shift))
+    ab = pos.withColumn("b0", F.shiftright(u32_md5("anchor_id"), shift))
     probes = (
         ab.select("anchor_id", "pos_id", F.col("b0").alias("b"))
         .unionByName(
@@ -4694,13 +4711,7 @@ def q_contrastive_triplets(spark, sf_dir):
         )
         .distinct()
     )
-    pair_u32 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("anchor_id"), F.col("neg_id"))), 1, 8
-        ),
-        16,
-        10,
-    ).cast("long")
+    pair_u32 = u32_md5(F.concat_ws(":", F.col("anchor_id"), F.col("neg_id")))
     cand2 = (
         probes.join(pool_b, "b")
         .where(

@@ -61,7 +61,7 @@ def curate(
     max_dup_frac: float | None = None,
     emb_docs=None,
     sem_threshold: float = 0.85,
-    sem_lists: int = 8,
+    sem_lists: int | None = None,
     rule_filter: bool = False,
     strip_substrings: bool = False,
 ):
@@ -167,6 +167,13 @@ def curate(
             semantic_dedup,
         )
 
+        # cluster count scales with the corpus unless pinned (the
+        # SemDeDup many-small-clusters recipe, same as the oracle
+        # query): the within-cluster join is quadratic per cluster, so
+        # a fixed 8 lists at real --emb-input sizes would either hit
+        # max_cluster_rows (silently skipping dedup) or pay (n/8)^2
+        if sem_lists is None:
+            sem_lists = max(8, emb_docs.count() // 256)
         sem = semantic_dedup(
             emb_docs, threshold=sem_threshold, n_lists=sem_lists, seed=7
         )
@@ -196,9 +203,9 @@ def curate(
 
     # 3b. leakage-safe split hashed on the GROUP id (cluster_split
     # oracle semantics): an entire near-dup component lands on one side
-    grp_u32 = F.conv(
-        F.substring(F.md5(F.col("group_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    from ds4sd_docling_tableformer_onnx_spark.functions.sampling import u32_md5
+
+    grp_u32 = u32_md5("group_id")
     survivors = survivors.withColumn(
         "split",
         F.when(grp_u32 % 10 == 0, F.lit("holdout")).otherwise(F.lit("train")),
@@ -322,6 +329,11 @@ def main(argv=None):
         help="within-cluster cosine above which a higher-id survivor drops",
     )
     parser.add_argument(
+        "--sem-lists", type=int, default=None,
+        help="IVF cluster count for the SemDeDup stage (default: "
+        "max(8, n_embeddings // 256) — scales with the corpus)",
+    )
+    parser.add_argument(
         "--rule-filter", action="store_true",
         help="drop documents failing the C4/Gopher heuristic battery "
         "(functions/rules.py) before any expensive stage",
@@ -359,6 +371,7 @@ def main(argv=None):
         max_dup_frac=args.max_dup_frac,
         emb_docs=emb_docs,
         sem_threshold=args.sem_threshold,
+        sem_lists=args.sem_lists,
         rule_filter=args.rule_filter,
         strip_substrings=args.strip_dup_substrings,
     )

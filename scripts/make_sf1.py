@@ -53,16 +53,20 @@ def _span(ids) -> int:
 
 
 def _replicate(df, factor, shifts):
-    """Concat ``factor`` copies, shifting each id column by
-    replica * span(col)."""
+    """Concat ``factor`` copies; ``shifts`` maps id column -> the span
+    to shift by per replica.  FK columns MUST shift by the REFERENCED
+    table's key span (passed in by the caller), never by the fact
+    column's own span: when the extreme dimension keys are unreferenced
+    (standard TPC-H: ~1/3 of customers have no orders) the two spans
+    differ and a fact-side span would point replica k's rows at the
+    wrong replica's dimension keys."""
     import pandas as pd
 
-    spans = {col: _span(df[col]) for col in shifts}
     out = []
     for k in range(factor):
         rep = df.copy()
-        for col in shifts:
-            rep[col] = rep[col] + k * spans[col]
+        for col, span in shifts.items():
+            rep[col] = rep[col] + k * span
         out.append(rep)
     return pd.concat(out, ignore_index=True)
 
@@ -91,25 +95,43 @@ def main(argv=None):
         write(name, read(name), schema_like=name)
 
     cust = read("customer")
-    write("customer", _replicate(cust, factor, ["c_custkey"]), "customer")
+    cust_span = _span(cust["c_custkey"])
+    write("customer", _replicate(cust, factor, {"c_custkey": cust_span}), "customer")
     supp = read("supplier")
-    write("supplier", _replicate(supp, factor, ["s_suppkey"]), "supplier")
+    supp_span = _span(supp["s_suppkey"])
+    write("supplier", _replicate(supp, factor, {"s_suppkey": supp_span}), "supplier")
     part = read("part")
-    write("part", _replicate(part, factor, ["p_partkey"]), "part")
+    part_span = _span(part["p_partkey"])
+    write("part", _replicate(part, factor, {"p_partkey": part_span}), "part")
     orders = read("orders")
+    ord_span = _span(orders["o_orderkey"])
     write(
         "orders",
-        _replicate(orders, factor, ["o_orderkey", "o_custkey"]),
+        _replicate(
+            orders, factor, {"o_orderkey": ord_span, "o_custkey": cust_span}
+        ),
         "orders",
     )
     li = read("lineitem")
     write(
         "lineitem",
-        _replicate(li, factor, ["l_orderkey", "l_partkey", "l_suppkey"]),
+        _replicate(
+            li,
+            factor,
+            {"l_orderkey": ord_span, "l_partkey": part_span, "l_suppkey": supp_span},
+        ),
         "lineitem",
     )
     ev = read("events")
-    write("events", _replicate(ev, factor, ["event_id", "user_id"]), "events")
+    write(
+        "events",
+        _replicate(
+            ev,
+            factor,
+            {"event_id": _span(ev["event_id"]), "user_id": _span(ev["user_id"])},
+        ),
+        "events",
+    )
 
     # documents: remixed replicas + bounded planted near-dups
     import pandas as pd

@@ -476,13 +476,21 @@ def test_bloom_prefilter_guarantees(spark):
     )
     probe = spark.createDataFrame(
         [(i, f"key-{i}") for i in range(0, 200, 2)]  # 100 true dups
-        + [(1000 + i, f"novel-{i}") for i in range(100)],  # 100 novel
+        + [(1000 + i, f"novel-{i}") for i in range(100)]  # 100 novel
+        # FULLY duplicated probe rows (same id AND key): a probe shard
+        # containing exact duplicate records must still flag every copy
+        # (regression: grouping hits by the row's value tuple doubled
+        # the count and cleared maybe_dup — a false negative)
+        + [(4, "key-4"), (4, "key-4")],
         "id long, text string",
     )
-    flagged = {r["id"]: r["maybe_dup"] for r in bloom_prefilter(build, probe).collect()}
+    rows = bloom_prefilter(build, probe).collect()
+    flagged = {r["id"]: r["maybe_dup"] for r in rows}
     dup_ids = [i for i in range(0, 200, 2)]
     novel_ids = [1000 + i for i in range(100)]
     assert all(flagged[i] for i in dup_ids)  # bloom: no false negatives
+    assert all(r["maybe_dup"] for r in rows if r["id"] == 4)  # all 3 copies
+    assert sum(1 for r in rows if r["id"] == 4) == 3  # no row collapsed
     fps = sum(flagged[i] for i in novel_ids)
     assert fps <= 10  # ~0.8% theoretical at k=7 b=10; 10% hard bound
     # determinism: hash-derived positions, not RNG
