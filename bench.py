@@ -108,6 +108,7 @@ HEADLINE = [
     "c4_filters",
     "scd2_dimension",
     "contrastive_triplets",
+    "tfidf_keywords",
 ]
 
 

@@ -4783,3 +4783,75 @@ _register(
     ) WHERE rn = 1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — top-k characteristic terms per document.
+# Scale shape: one explode feeds two cascaded aggregations (per-doc
+# term counts, then document frequency OVER the already-distinct
+# doc-term pairs — no second distinct), the idf join is vocab-sized
+# (AQE broadcasts when small), and the per-doc top-k window is bounded
+# by per-document vocabulary.  Scores are integers (tf x
+# round(ln(N/df) * 1e6)) so ordering and the hash are float-free; the
+# ln runs on the identical double N/df in both engines.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """(doc_id, term, rank, score_int): top-3 TF-IDF terms per doc,
+    ties broken by term ascending."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf_int = F.round(
+        F.log(F.lit(float(n_docs)) / F.col("df")) * 1_000_000
+    ).cast("long")
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id", "term", (F.col("tf") * idf_int).alias("score_int")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_int").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", "rank", "score_int")
+    )
+
+
+_register(
+    "tfidf_keywords",
+    q_tfidf_keywords,
+    f"""
+    WITH d AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM d
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+    ), dfq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM d
+    ), s AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * CAST(round(ln((SELECT n FROM n) / dfq.df)
+                                       * 1000000) AS BIGINT)
+                    AS BIGINT) AS score_int
+        FROM tf JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, score_int FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_int DESC, term) AS rank
+        FROM s
+    ) WHERE rank <= {_TFIDF_K}
+    """,
+)

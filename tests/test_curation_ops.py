@@ -160,3 +160,17 @@ def test_contrastive_triplets_are_well_formed(spark):
     # positives are symmetric: if a anchors b as positive, b is also an
     # anchor (it has a near-dup by construction)
     assert set(pdf["pos_id"]) <= set(pdf["anchor_id"])
+
+
+def test_tfidf_keywords_rank_semantics(spark):
+    from ds4sd_docling_tableformer_onnx_spark.queries import _TFIDF_K
+
+    pdf = QUERIES["tfidf_keywords"](spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert set(pdf["doc_id"]) == set(r["doc_id"] for r in docs.select("doc_id").collect())
+    for _, grp in pdf.groupby("doc_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= _TFIDF_K
+        s = list(grp["score_int"])
+        assert s == sorted(s, reverse=True)  # ranks follow scores
