@@ -4855,3 +4855,47 @@ _register(
     ) WHERE rank <= {_TFIDF_K}
     """,
 )
+
+# ---------------------------------------------------------------------------
+# JSONL sink + source round-trip — line-delimited JSON is the exchange
+# format LLM data pipelines actually ingest and publish; this proves
+# the engine's JSONL bridge is lossless (the oracle reads the ORIGINAL
+# parquet, so any writer/reader mangling — escaping, type coercion,
+# column drift — fails the value hash via md5(text)).  Scale notes:
+# the read pins an explicit schema (never schema inference, which
+# costs a full extra pass at corpus scale), and uncompressed/zstd
+# JSONL stays line-splittable — gzip would serialize each file to one
+# task; real pipelines convert to parquet at ingest and keep JSONL at
+# the edges, which is exactly this operator's role.
+# ---------------------------------------------------------------------------
+
+
+def q_jsonl_roundtrip(spark, sf_dir):
+    """(doc_id, lang, source, n_chars, text_md5) read back from a JSONL
+    copy of the documents table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="jsonl_rt_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs.coalesce(4).write.mode("overwrite").json(f"{work}/docs")
+    out = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(f"{work}/docs")
+    return out.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+_register(
+    "jsonl_roundtrip",
+    q_jsonl_roundtrip,
+    """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+    """,
+)
