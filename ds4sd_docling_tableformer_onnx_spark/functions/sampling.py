@@ -49,3 +49,26 @@ def mixture_keep(id_col: str = "doc_id", source_col: str = "source"):
         f"{source_col}, 'src([0-9]+)', 1) AS INT), 0) % 4)"
     )
     return u32 < threshold
+
+
+def ring_params(n_pool: int, expect: int):
+    """Rendezvous hash-ring sizing — ONE definition shared by
+    negative_sample and contrastive_triplets (their oracles replicate
+    it via :func:`ring_sql`): bucket count = largest power of two <=
+    n / (2 * expect), so bucket population is ~2x the candidate
+    budget.  Returns (n_buckets, shift); a key's bucket is
+    u32_md5(key) >> shift."""
+    p2 = max(1, n_pool // (2 * expect)).bit_length() - 1
+    return 1 << p2, 32 - p2
+
+
+def ring_sql(count_sql: str, expect: int) -> str:
+    """The matching DuckDB CTE fragment (names ``nbp``/``ring`` with
+    columns n_buckets, shift).  floor(log2(x)) == bit_length-1 for
+    positive ints, so the two derivations are always equal."""
+    return f"""nbp AS (
+        SELECT CAST(floor(log2(greatest(({count_sql})
+                                        // {2 * expect}, 1))) AS INT) AS p
+    ), ring AS (
+        SELECT (1 << p) AS n_buckets, 32 - p AS shift FROM nbp
+    )"""

@@ -21,6 +21,7 @@ hash.
 
 from __future__ import annotations
 
+from .functions.sampling import ring_sql
 
 QUERIES: dict = {}
 ORACLES: dict = {}
@@ -2896,11 +2897,9 @@ def q_negative_sample(spark, sf_dir):
         F.col("doc_id").alias("neg_id")
     )
     n_pool = pool.count()
-    # bucket count: largest power of two <= |pool| / (2 * expected) —
-    # bucket population ~2x the candidate budget; floor(log2(x)) ==
-    # bit_length-1 for ints, mirrored by the oracle's floor(log2())
-    p2 = max(1, n_pool // (2 * _NEG_EXPECT)).bit_length() - 1
-    nb, shift = 1 << p2, 32 - p2
+    from .functions.sampling import ring_params
+
+    nb, shift = ring_params(n_pool, _NEG_EXPECT)
 
     from .functions.sampling import u32_md5
 
@@ -2929,12 +2928,7 @@ _register(
         SELECT doc_id AS neg_id FROM documents WHERE doc_id % 43 <> 0
     ), q AS (
         SELECT doc_id AS q_id FROM documents WHERE doc_id % 43 = 0
-    ), nb AS (
-        SELECT CAST(floor(log2(greatest((SELECT count(*) FROM pool)
-                                        // {2 * _NEG_EXPECT}, 1))) AS INT) AS p
-    ), ring AS (
-        SELECT (1 << p) AS n_buckets, 32 - p AS shift FROM nb
-    ), pool_b AS (
+    ), {ring_sql("SELECT count(*) FROM pool", _NEG_EXPECT)}, pool_b AS (
         SELECT neg_id,
                CAST(('0x' || substr(md5(CAST(neg_id AS VARCHAR)), 1, 8))::UBIGINT
                     >> shift AS BIGINT) AS b
@@ -3826,13 +3820,19 @@ def q_semantic_dedup(spark, sf_dir):
     # re-normalize, and re-score within-cluster pairs from scratch
     # (same normalize-then-dot arithmetic as the operator, so a
     # threshold-boundary pair cannot flip between the two passes)
-    allv = normalize_column(
-        res.join(emb, res["id"] == emb["vec_id"]).select(
-            "id", "cluster", "kept", "embedding"
-        ),
-        vec_col="embedding",
-        out_col="nv",
-    ).select("id", "cluster", "kept", "nv")
+    # persisted: four join legs below (kept a/b, dropped d, witness w)
+    # would otherwise re-run the emb join + normalize UDF per leg
+    allv = (
+        normalize_column(
+            res.join(emb, res["id"] == emb["vec_id"]).select(
+                "id", "cluster", "kept", "embedding"
+            ),
+            vec_col="embedding",
+            out_col="nv",
+        )
+        .select("id", "cluster", "kept", "nv")
+        .persist()
+    )
     kept = allv.where("kept").select("id", "cluster", "nv")
     a, b = kept.alias("a"), kept.alias("b")
     kept_viol = (
@@ -3872,7 +3872,7 @@ def q_semantic_dedup(spark, sf_dir):
             (F.col("n_dropped") > 0).alias("some_dropped"),
         )
     )
-    return adopt(verdict, res, *cached_inputs(res))
+    return adopt(verdict, res, allv, *cached_inputs(res))
 
 
 _register(
@@ -4599,7 +4599,11 @@ def q_scd2_dimension(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ev = _read(spark, sf_dir, "events")
+    # NULL attribute guard, mirrored in the oracle (dsir convention):
+    # a NULL event_type would merge into the prior run on the chg CASE
+    # yet split its version row in the groupBy, creating duplicate
+    # (user, version) rows whose lead() tie-order differs across engines
+    ev = _read(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
     changed = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
@@ -4633,6 +4637,7 @@ _register(
                          OR lag(event_type) OVER w <> event_type
                     THEN 1 ELSE 0 END AS chg
         FROM events
+        WHERE event_type IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), ver AS (
         SELECT user_id, event_type, ts,
@@ -4694,9 +4699,10 @@ def q_contrastive_triplets(spark, sf_dir):
         .select("anchor_id", "pos_id")
     )
 
+    from .functions.sampling import ring_params
+
     n_docs = docs.count()
-    p2 = max(1, n_docs // (2 * _NEG_EXPECT)).bit_length() - 1
-    nb, shift = 1 << p2, 32 - p2
+    nb, shift = ring_params(n_docs, _NEG_EXPECT)
 
     from .functions.sampling import u32_md5
 
@@ -4746,12 +4752,7 @@ _register(
                                          ORDER BY hamming, pos_id) AS rn
             FROM sym
         ) WHERE rn = 1
-    ), nbp AS (
-        SELECT CAST(floor(log2(greatest((SELECT count(*) FROM documents)
-                                        // {2 * _NEG_EXPECT}, 1))) AS INT) AS p
-    ), ring AS (
-        SELECT (1 << p) AS n_buckets, 32 - p AS shift FROM nbp
-    ), pool_b AS (
+    ), {ring_sql("SELECT count(*) FROM documents", _NEG_EXPECT)}, pool_b AS (
         SELECT doc_id AS neg_id,
                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
                     >> shift AS BIGINT) AS b

@@ -166,7 +166,10 @@ def test_tfidf_keywords_rank_semantics(spark):
     from ds4sd_docling_tableformer_onnx_spark.queries import _TFIDF_K
 
     pdf = QUERIES["tfidf_keywords"](spark, SF).toPandas()
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # compare against the query's contract: non-null-text docs only
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(
+        "text IS NOT NULL"
+    )
     assert set(pdf["doc_id"]) == set(r["doc_id"] for r in docs.select("doc_id").collect())
     for _, grp in pdf.groupby("doc_id"):
         grp = grp.sort_values("rank")
