@@ -21,15 +21,16 @@ def simhash_column(df, text_col: str = "text", bits: int = 64):
     pair them by banding the signature into 4 x 16-bit keys (same LSH
     shape as MinHash banding).
 
-    Tokenization is EXPLICITLY ASCII-whitespace (``re.split(r"\\s+")``
-    with ``re.ASCII``): the signature is part of the engine-replicable
-    hash discipline (CLAUDE.md), and ASCII ``\\s`` is the one split
-    both Spark and the DuckDB oracle's RE2 ``string_split_regex``
-    express identically on ANY corpus — Python's ``str.split()``
-    Unicode semantics (NBSP, ``\\x85``, ``\\x1c``-``\\x1f``) would
-    silently diverge on a non-ASCII-whitespace corpus (r3 verdict low
-    #2, now closed by construction; ASCII-ws corpora are unchanged,
-    regression pins hold).
+    Tokenization is EXPLICITLY the class ``[\\t\\n\\f\\r ]+`` — RE2's
+    ``\\s`` spelled out — NOT Python ``\\s``: the signature is part of
+    the engine-replicable hash discipline (CLAUDE.md), and this is the
+    one split both Spark and the DuckDB oracle's RE2
+    ``string_split_regex(.., '\\s+')`` express identically on ANY
+    corpus.  Python ``re.ASCII \\s`` additionally includes ``\\x0b``
+    (vertical tab), which RE2 does not treat as whitespace (r4 advice
+    low #1); Python ``str.split()`` Unicode semantics (NBSP, ``\\x85``,
+    ``\\x0b``, ``\\x1c``-``\\x1f``) diverge further — rows carrying any
+    of those take the pinned-regex path.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
@@ -42,7 +43,10 @@ def simhash_column(df, text_col: str = "text", bits: int = 64):
         import numpy as np
         import pandas as pd
 
-        ws = re.compile(r"\s+", re.ASCII)
+        # RE2's \s as an explicit class: unlike Python re.ASCII \s it
+        # excludes \x0b, so the oracle's string_split_regex replicates
+        # the split exactly (r4 advice low #1)
+        ws = re.compile(r"[\t\n\f\r ]+")
 
         # Vectorized per Arrow batch: one md5 per *unique word in the
         # batch* (the only unavoidable Python loop), then pure numpy —
@@ -58,12 +62,14 @@ def simhash_column(df, text_col: str = "text", bits: int = 64):
             if not text:
                 continue
             # fast path: on pure-ASCII text, C-level str.split() IS the
-            # ASCII-\s+ split (measured ~2x the regex's tokenize cost)
-            # EXCEPT for \x1c-\x1f, which str.split treats as whitespace
-            # and re.ASCII \s does not; rows carrying those (or any
-            # non-ASCII) take the regex that pins the semantics
+            # [\t\n\f\r ]+ split (measured ~2x the regex's tokenize
+            # cost) EXCEPT for \x0b and \x1c-\x1f, which str.split
+            # treats as whitespace and RE2 \s does not; rows carrying
+            # those (or any non-ASCII) take the regex that pins the
+            # semantics
             if (
                 text.isascii()
+                and "\x0b" not in text
                 and "\x1c" not in text
                 and "\x1d" not in text
                 and "\x1e" not in text

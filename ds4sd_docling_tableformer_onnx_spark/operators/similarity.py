@@ -457,10 +457,14 @@ def semantic_dedup(
     canonical smaller id survives — same min-id discipline as the
     connected-components dedup groups).
 
-    Returns ``(id, cluster, kept)`` for every input row.  ``kept`` is
-    deterministic: the quantizer trains on a bounded ordered sample
-    (:func:`train_ivf_centroids`), so cluster assignment — and hence
-    the drop set — is a pure function of the input.
+    Returns ``(id, cluster, kept, capped)`` for every input row.
+    ``kept`` is deterministic: the quantizer trains on a bounded
+    ordered sample (:func:`train_ivf_centroids`), so cluster
+    assignment — and hence the drop set — is a pure function of the
+    input.  ``capped`` marks rows of clusters excluded from pair
+    scoring by ``max_cluster_rows`` (always kept): verifiers must
+    mirror the exclusion instead of re-scoring capped clusters (r4
+    advice low #2).
 
     Scale shape (the SemDeDup recipe at 10^9 rows):
     - clustering is a narrow map stage (one matmul per Arrow batch);
@@ -500,6 +504,7 @@ def semantic_dedup(
     )
 
     scored = assigned
+    capped_ids: list = []
     if max_cluster_rows is not None:
         oversized = (
             assigned.groupBy("cluster")
@@ -510,16 +515,15 @@ def semantic_dedup(
         if oversized:
             import logging
 
+            capped_ids = [r["cluster"] for r in oversized]
             logging.getLogger(__name__).warning(
                 "semantic_dedup: excluding %d oversized cluster(s) from "
                 "pair scoring (> %d rows; their rows stay kept): %s",
-                len(oversized),
+                len(capped_ids),
                 max_cluster_rows,
-                sorted(r["cluster"] for r in oversized)[:32],
+                sorted(capped_ids)[:32],
             )
-            scored = assigned.where(
-                ~F.col("cluster").isin([r["cluster"] for r in oversized])
-            )
+            scored = assigned.where(~F.col("cluster").isin(capped_ids))
 
     a, b = scored.alias("a"), scored.alias("b")
     cos = _dot(F.col("a._nvec"), F.col("b._nvec"))
@@ -533,10 +537,12 @@ def semantic_dedup(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
+    capped_col = F.col("cluster").isin(capped_ids) if capped_ids else F.lit(False)
     result = assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left").select(
         F.col(id_col).alias("id"),
         F.col("cluster"),
         F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        capped_col.alias("capped"),
     )
     return adopt(result, assigned)
 

@@ -118,14 +118,12 @@ def curate(
     # gram/simhash stages entirely)
     n_rule_dropped = 0
     if rule_filter:
-        from functools import reduce
-
         from ds4sd_docling_tableformer_onnx_spark.functions.rules import (
             heuristic_rules,
+            keep_all,
         )
 
-        keep = reduce(lambda a, b: a & b, heuristic_rules("text").values())
-        docs = docs.where(keep)
+        docs = docs.where(keep_all(heuristic_rules("text")))
         n_rule_dropped = n_input - docs.count()
 
     # 0b. exact substring dedup: strip corpus-duplicated 8-gram spans

@@ -33,15 +33,15 @@ def test_simhash_signature_regression(spark):
     """Fixed-vector pins: the vectorized batch UDF must reproduce the
     scalar md5-majority definition bit-for-bit (guards the numpy
     rewrite), including empty and repeated-word inputs — and the
-    ASCII-whitespace tokenization must hold against Unicode whitespace
-    (NBSP joins a token rather than splitting it, matching the DuckDB
-    oracle's RE2 ``\\s+`` on any corpus)."""
+    RE2-class tokenization must hold against Unicode whitespace and
+    \\x0b (NBSP and vertical tab join a token rather than splitting it,
+    matching the DuckDB oracle's RE2 ``\\s+`` on any corpus)."""
     import hashlib
     import re
 
     from ds4sd_docling_tableformer_onnx_spark.operators.dedup import simhash_column
 
-    ws = re.compile(r"\s+", re.ASCII)
+    ws = re.compile(r"[\t\n\f\r ]+")  # RE2 \s spelled out (no \x0b)
 
     def scalar_ref(text, bits=64):
         if not text:
@@ -65,7 +65,9 @@ def test_simhash_signature_regression(spark):
         (5, "dup dup dup single"),
         (6, "nbsp joined stays one-token"),  # Unicode ws NOT a split
         (7, "  "),  # only Unicode ws -> one 2-char token, not sig 0
-        (8, "fsjoined stays one"),  # ASCII \x1c: str.split ws, NOT re-ASCII \s
+        (8, "fsjoined stays one"),  # ASCII \x1c: str.split ws, NOT RE2 \s
+        (9, "vt\x0bjoined stays one"),  # \x0b: Python \s ws, NOT RE2 \s
+        (10, "\x0b\x0b"),  # only \x0b -> one 2-char token, not sig 0
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["simhash"] for r in simhash_column(df).collect()}
@@ -74,6 +76,7 @@ def test_simhash_signature_regression(spark):
     assert got[6] == scalar_ref("nbsp joined stays one-token")
     assert "nbsp joined" in ws.split(rows[5][1])  # the pin's premise
     assert got[7] != 0  # Python str.split() would have produced 0
+    assert got[10] != 0  # re.ASCII \s would have produced 0 (r4 advice)
     for doc_id, text in rows:
         assert got[doc_id] == scalar_ref(text or "")
 
@@ -438,9 +441,11 @@ def test_semantic_dedup_constructed_clusters(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     res = semantic_dedup(df, threshold=0.9, n_lists=2, seed=3)
-    got = {r["id"]: r["kept"] for r in res.collect()}
+    rows_out = res.collect()
+    got = {r["id"]: r["kept"] for r in rows_out}
     release(res)
     assert len(got) == len(rows)
+    assert not any(r["capped"] for r in rows_out)  # no cluster hit the cap
     # min id of each parallel group survives; the rest drop
     assert got[0] and not (got[1] or got[2] or got[3])
     assert got[10] and not (got[11] or got[12])
@@ -459,9 +464,12 @@ def test_semantic_dedup_cluster_cap_guard(spark):
     rows = [(i, [1.0, 0.001 * i]) for i in range(12)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     res = semantic_dedup(df, threshold=0.9, n_lists=1, seed=3, max_cluster_rows=5)
-    got = {r["id"]: r["kept"] for r in res.collect()}
+    rows_out = res.collect()
+    got = {r["id"]: r["kept"] for r in rows_out}
     release(res)
     assert all(got.values())  # every row kept: the one cluster was capped
+    # the capped flag is how verifiers mirror the exclusion (r4 advice)
+    assert all(r["capped"] for r in rows_out)
 
 
 def test_bloom_prefilter_guarantees(spark):
