@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Benchmark: extraction throughput + headline queries + scaling evidence.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the LAST stdout line, hard-capped at
+1.5 kB so the driver's 2,000-char tail capture always parses it — r4
+verdict item 2; BENCH_r04 was recorded ``parsed: null`` when the
+per-query map outgrew the tail):
     {"metric": ..., "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...,
-     "extraction": {"turns": N, "turns_per_sec": ...,
-                    "pass_rate": ..., "scaling": {...}}}
+     "queries": {<slowest few>: sec, ...}, "n_queries": N, "sf": ...,
+     "extraction": {"turns": N, "turns_per_sec": ..., "pass_rate": ...},
+     "scaling": {"efficiency_N_to_4N": ...}, "detail": "BENCH_DETAIL.json"}
+
+The FULL per-query timing map plus the complete scaling/contention
+evidence goes to BENCH_DETAIL.json next to this script (committed per
+round; BASELINE.md narrates it).
 
 Scaling evidence (north_rule: >=0.8 efficiency between N and 4N
 executors): the identical extraction job runs at local[4] and local[16]
@@ -97,6 +104,7 @@ HEADLINE = [
     "stats_by_type",
     "session_window_counts",
     "bpe_merges",
+    "bpe_encode",
     "semantic_dedup",
     "bloom_dedup",
     "chunk_documents",
@@ -106,6 +114,7 @@ HEADLINE = [
     "global_shuffle",
     "dedup_substrings",
     "c4_filters",
+    "quality_classifier",
     "scd2_dimension",
     "contrastive_triplets",
     "tfidf_keywords",
@@ -359,7 +368,7 @@ def main():
     # so an excluded visit's inflated ratio cannot resurface here
     scaling["efficiency_best_visit"] = max(pool)
 
-    result = {
+    detail = {
         "metric": "extraction turns/sec + headline query wall time",
         "value": round(total, 3),
         "unit": "sec",
@@ -374,7 +383,39 @@ def main():
             "scaling": scaling,
         },
     }
-    print(json.dumps(result))
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    # compact headline: slowest queries at a glance, everything else in
+    # the sidecar; the size guard keeps the line parseable under the
+    # driver's tail capture no matter how many queries future rounds add
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    headline = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": {k: timings[k] for k in slowest[:8]},
+        "n_queries": len(timings),
+        "sf": sf_label,
+        "extraction": {
+            "turns": turns,
+            "turns_per_sec": round(turns / wall_full, 1),
+            "pass_rate": pass_rate,
+        },
+        "scaling": {
+            "efficiency_N_to_4N": scaling["efficiency_N_to_4N"],
+            "hardware_ceiling_4_to_16": scaling["hardware_ceiling_4_to_16"],
+            "contended_visits_excluded": scaling["contended_visits_excluded"],
+            "turns_per_sec": {
+                c: scaling[c]["turns_per_sec"] for c in ("local[4]", "local[16]")
+            },
+        },
+        "contention_index": detail["contention_index"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    while len(json.dumps(headline)) > 1500 and headline["queries"]:
+        headline["queries"].pop(min(headline["queries"], key=headline["queries"].get))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

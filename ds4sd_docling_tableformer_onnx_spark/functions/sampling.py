@@ -37,6 +37,17 @@ def u32_md5(col):
     )
 
 
+def half_away(x: float) -> int:
+    """Round half away from zero — DuckDB's round() semantics.  Python
+    round() is banker's; every driver-side weight quantization (DSIR
+    log-ratios, the quality classifier's log-odds) must mirror DuckDB
+    exactly, so this is the ONE rounding used before shipping an
+    integer score array into a plan."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
 def mixture_keep(id_col: str = "doc_id", source_col: str = "source"):
     """Boolean Column: does this (id, source) row survive the mixture
     sample?"""

@@ -3778,6 +3778,110 @@ _register("bpe_merges", q_bpe_merges, _bpe_merges_oracle_sql())
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer APPLY (r4 verdict item 4): encode documents with a trained
+# merge table in ONE shuffle-free Arrow pass (operators/bpe.bpe_encode).
+# The table here is a LITERAL 6-merge prefix (pinned, not retrained per
+# run — applying is the operation under test, and a literal table keeps
+# the sweep cost at one corpus pass) with a cascading chain
+# t+h -> th+e -> the+' ' that exercises merged-token reuse across
+# rounds.  The DuckDB oracle replays the same in-training-order greedy
+# passes with the bpe_merges window-function machinery, unrolled per
+# literal pair; train->encode consistency is pinned separately by the
+# differential test (encode(training corpus) == trainer final stream).
+# Probe shard doc_id % 4 = 1 is disjoint from the trainer query's
+# % 4 = 0 shard, so the apply path is exercised on unseen documents.
+# ---------------------------------------------------------------------------
+
+_BPE_ENCODE_TABLE = [
+    ("t", "h"),
+    ("th", "e"),
+    ("the", " "),
+    ("e", " "),
+    ("a", "t"),
+    ("r", "t"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """(doc_id, n_tokens, toks_md5): the literal merge table applied to
+    the ASCII % 4 = 1 document shard; the md5 is over the token stream
+    joined with \\x1f, so any token boundary drift mismatches."""
+    from pyspark.sql import functions as F
+
+    from .operators.bpe import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents").where("doc_id % 4 = 1")
+    ascii_docs = docs.where(
+        F.length("text") == F.octet_length("text")
+    ).select("doc_id", "text")
+    enc = bpe_encode(ascii_docs, _BPE_ENCODE_TABLE)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1f", F.col("tokens"))).alias("toks_md5"),
+    )
+
+
+def _bpe_encode_oracle_sql() -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    rounds = []
+    prev = "s0"
+    for r, (lft, rgt) in enumerate(_BPE_ENCODE_TABLE, start=1):
+        rounds.append(f""", p{r} AS MATERIALIZED (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, toks[i] AS lft, toks[i + 1] AS rgt
+        FROM {prev}, UNNEST(range(1, len(toks))) t(i)
+    ), sel{r} AS MATERIALIZED (
+        -- greedy non-overlap == odd rank within each maximal run of
+        -- consecutive match positions (same construction as bpe_merges)
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY doc_id, grp ORDER BY i) AS rnk
+            FROM (
+                SELECT p.doc_id, p.i,
+                       p.i - row_number() OVER (PARTITION BY p.doc_id
+                                                ORDER BY p.i) AS grp
+                FROM p{r} p
+                WHERE p.lft = '{esc(lft)}' AND p.rgt = '{esc(rgt)}'
+            )
+        ) WHERE rnk % 2 = 1
+    ), s{r} AS MATERIALIZED (
+        SELECT t.doc_id,
+               list(CASE WHEN s.i IS NOT NULL
+                         THEN '{esc(lft + rgt)}'
+                         ELSE t.tok END ORDER BY t.j) AS toks
+        FROM (SELECT doc_id, CAST(j AS BIGINT) AS j, toks[j] AS tok
+              FROM {prev}, UNNEST(range(1, len(toks) + 1)) tt(j)) t
+        LEFT JOIN sel{r} s ON s.doc_id = t.doc_id AND s.i = t.j
+        LEFT JOIN sel{r} x ON x.doc_id = t.doc_id AND x.i = t.j - 1
+        WHERE x.i IS NULL
+        GROUP BY t.doc_id
+    )""")
+        prev = f"s{r}"
+    k = len(_BPE_ENCODE_TABLE)
+    return f"""
+    WITH s0 AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1), ci -> text[ci]) AS toks
+        FROM documents
+        WHERE doc_id % 4 = 1
+          AND length(text) = octet_length(encode(text))
+    ){"".join(rounds)}
+    -- zero-length docs fall out of the unnest chain: rejoin the shard
+    -- so every input doc carries an output row (md5('') for empty)
+    SELECT b.doc_id,
+           CAST(coalesce(len(s.toks), 0) AS BIGINT) AS n_tokens,
+           md5(coalesce(array_to_string(s.toks, chr(31)), '')) AS toks_md5
+    FROM (SELECT doc_id FROM s0) b
+    LEFT JOIN s{k} s USING (doc_id)
+    """
+
+
+_register("bpe_encode", q_bpe_encode, _bpe_encode_oracle_sql())
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup-style, r3 verdict task 5) — asserted-in-query
 # oracle, same form as ivf_ann_topk: the k-means quantizer is iterative
 # (DuckDB can't replicate it), so the query emits exact engine-
@@ -4140,11 +4244,11 @@ def q_dsir_resample(spark, sf_dir):
     sc = _bucket_counts(src.select(words))
     t_tot, s_tot = sum(tc.values()), sum(sc.values())
 
-    def _half_away(x: float) -> int:
-        # DuckDB round() is half-away-from-zero; Python round() is
-        # banker's — mirror DuckDB exactly (tie probability ~0, but the
-        # tie-break must still be symmetric by construction)
-        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+    # DuckDB round() is half-away-from-zero; Python round() is
+    # banker's — functions/sampling.half_away mirrors DuckDB exactly
+    # (tie probability ~0, but the tie-break must still be symmetric
+    # by construction)
+    from .functions.sampling import half_away as _half_away
 
     scores = [
         _half_away(
@@ -4582,6 +4686,95 @@ _register(
     FROM r
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Quality classifier (r4 verdict item 7): fastText-style hashed linear
+# scorer (operators/classifier.py).  Weak labels come from the C4/
+# Gopher rule battery on the doc_id % 3 != 0 train slice; the
+# held-out % 3 = 0 slice is scored by the trained integer log-odds
+# weights.  Feature hashing, quantization and prediction are all
+# integer/md5-derived (the DSIR discipline), so the oracle re-trains
+# and re-scores the identical model in SQL.
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 1024
+
+
+def q_quality_classifier(spark, sf_dir):
+    """(doc_id, n_words, q_score, pred_good) over the held-out
+    doc_id % 3 = 0 slice: integer bag-of-buckets log-odds under the
+    rule-labeled naive-Bayes model trained on the % 3 != 0 slice."""
+    from pyspark.sql import functions as F
+
+    from .functions.rules import heuristic_rules, keep_all
+    from .operators.classifier import quality_scores, train_quality_weights
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    train = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "label", keep_all(heuristic_rules("text"))
+    )
+    weights = train_quality_weights(train, n_buckets=_QC_BUCKETS)
+    held_out = docs.where(F.col("doc_id") % 3 == 0)
+    return quality_scores(held_out, weights).select(
+        "doc_id",
+        "n_words",
+        "q_score",
+        (F.col("q_score") > 0).alias("pred_good"),
+    )
+
+
+_register(
+    "quality_classifier",
+    q_quality_classifier,
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS ws
+        FROM documents WHERE text IS NOT NULL
+    ), lab AS (
+        -- the rule battery (c4_filters oracle) as one keep boolean
+        SELECT doc_id, ws,
+               (len(ws) >= 20
+                AND len(list_filter(range(1, len(ws) - 1),
+                                    i -> ws[i] = ws[i + 1] AND ws[i] = ws[i + 2])) = 0
+                AND list_max(list_transform(ws, w -> length(w))) <= 30
+                AND NOT contains(text, '{{')
+                AND 9 * len(ws) <= 2 * list_sum(list_transform(ws, w -> length(w)))
+                AND 2 * list_sum(list_transform(ws, w -> length(w))) <= 13 * len(ws)
+               ) AS lbl
+        FROM t WHERE doc_id % 3 <> 0
+    ), cnt AS (
+        SELECT lbl,
+               ('0x' || substr(md5(w), 1, 8))::UBIGINT % {_QC_BUCKETS} AS b,
+               count(*) AS c
+        FROM (SELECT lbl, unnest(ws) AS w FROM lab)
+        GROUP BY lbl, b
+    ), tot AS (
+        SELECT coalesce(sum(CASE WHEN lbl THEN c END), 0) AS g_tot,
+               coalesce(sum(CASE WHEN NOT lbl THEN c END), 0) AS b_tot
+        FROM cnt
+    ), wt AS (
+        SELECT r.b,
+               CAST(round((ln((coalesce(g.c, 0) + 1) * (b_tot + {_QC_BUCKETS}))
+                         - ln((coalesce(bb.c, 0) + 1) * (g_tot + {_QC_BUCKETS})))
+                         * 1000000) AS BIGINT) AS w
+        FROM (SELECT unnest(range({_QC_BUCKETS})) AS b) r
+        LEFT JOIN (SELECT b, c FROM cnt WHERE lbl) g USING (b)
+        LEFT JOIN (SELECT b, c FROM cnt WHERE NOT lbl) bb USING (b)
+        CROSS JOIN tot
+    ), sw AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::UBIGINT % {_QC_BUCKETS} AS b
+        FROM (SELECT doc_id, unnest(ws) AS w FROM t WHERE doc_id % 3 = 0)
+    )
+    SELECT sw.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wt.w) AS BIGINT) AS q_score,
+           sum(wt.w) > 0 AS pred_good
+    FROM sw JOIN wt USING (b)
+    GROUP BY sw.doc_id
+    """,
+)
+
 
 # ---------------------------------------------------------------------------
 # SCD2 dimension build — the classic warehouse type-2 slowly-changing

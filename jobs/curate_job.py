@@ -13,9 +13,12 @@ Pipeline (each stage a documented scale shape, all oracle-checked in
 queries.py at small scale):
 
 0. optional pre-stages: --rule-filter (C4/Gopher heuristic battery,
-   pure codegen — the c4_filters oracle semantics) and
+   pure codegen — the c4_filters oracle semantics),
    --strip-dup-substrings (exact substring dedup, Lee et al. 2021 —
-   the dedup_substrings oracle semantics, text replaced in place);
+   the dedup_substrings oracle semantics, text replaced in place) and
+   --quality-filter (hashed linear quality scorer trained on the raw
+   corpus with rule-battery weak labels — the quality_classifier
+   oracle semantics, docs scoring <= 0 drop);
 1. near-dup GROUPS: simhash signatures -> banded candidate pairs
    (hamming <= --hamming) -> connected components (hash-min label
    propagation) -> one canonical survivor per group (smallest doc_id);
@@ -64,6 +67,7 @@ def curate(
     sem_lists: int | None = None,
     rule_filter: bool = False,
     strip_substrings: bool = False,
+    quality_filter: bool = False,
 ):
     """documents (doc_id, text, lang, source, ...) -> curated, packed
     survivors.  Returns (result_df, stats_dict).
@@ -90,7 +94,15 @@ def curate(
       operators/contamination.strip_duplicated_substrings) — token
       spans covered by corpus-duplicated word 8-grams are removed from
       the text BEFORE the near-dup/signal stages, so every downstream
-      token count sees the stripped corpus.
+      token count sees the stripped corpus;
+    - ``quality_filter``: fastText-style hashed linear quality scorer
+      (operators/classifier.py — the ``quality_classifier`` oracle
+      semantics): naive-Bayes log-odds weights trained on the RAW
+      input corpus with the rule battery as weak labels (raw, so the
+      labels are never degenerate when ``rule_filter`` also runs),
+      then documents scoring <= 0 drop.  Generalizes the rule signal:
+      a doc passing every rule but written in "bad-doc" vocabulary
+      still drops.
 
     Every output row also carries ``split`` ('train'/'holdout', ~10%),
     hashed on the near-dup GROUP id so no holdout doc has a near-dup
@@ -112,6 +124,7 @@ def curate(
     from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
 
     n_input = docs.count()
+    raw_docs = docs  # classifier training corpus (pre-filter: see 0c)
 
     # 0a. heuristic rule battery (cheapest stage runs first: pure
     # codegen predicates, no shuffle — every doc dropped here skips the
@@ -141,6 +154,33 @@ def curate(
             stripped.agg(F.sum("n_sub_removed")).collect()[0][0] or 0
         )
         docs = stripped.drop("n_tokens_pre", "n_sub_removed")
+
+    # 0c. learned quality filter: train integer log-odds weights on the
+    # RAW corpus (rule-battery weak labels — training after rule_filter
+    # would see all-True labels), score the current stream shuffle-free
+    # (2 bounded-collect training aggs + 1 codegen scoring pass)
+    n_quality_dropped = 0
+    if quality_filter:
+        from ds4sd_docling_tableformer_onnx_spark.functions.rules import (
+            heuristic_rules,
+            keep_all,
+        )
+        from ds4sd_docling_tableformer_onnx_spark.operators.classifier import (
+            quality_scores,
+            train_quality_weights,
+        )
+
+        labeled = raw_docs.where(F.col("text").isNotNull()).withColumn(
+            "label", keep_all(heuristic_rules("text"))
+        )
+        weights = train_quality_weights(labeled)
+        before = docs.count()
+        docs = (
+            quality_scores(docs, weights)
+            .where(F.col("q_score") > 0)
+            .drop("n_words", "q_score")
+        )
+        n_quality_dropped = before - docs.count()
 
     # 1. near-dup groups -> canonical survivor per group.  survivors is
     # persisted: the hygiene counts, the sampling filter, and the
@@ -280,6 +320,7 @@ def curate(
         "input_docs": n_input,
         "rule_dropped": int(n_rule_dropped),
         "substring_tokens_removed": int(n_sub_tokens_removed),
+        "quality_dropped": int(n_quality_dropped),
         "contaminated_dropped": int(n_contaminated),
         "repetitive_dropped": int(n_repetitive),
         "semantic_dropped": int(n_semantic),
@@ -342,6 +383,11 @@ def main(argv=None):
         "8-gram spans from the text before the near-dup stages",
     )
     parser.add_argument(
+        "--quality-filter", action="store_true",
+        help="train the hashed linear quality scorer on the raw corpus "
+        "(rule-battery weak labels) and drop docs scoring <= 0",
+    )
+    parser.add_argument(
         "--sf-dir", default=None,
         help="read documents from <sf-dir>/documents.parquet (smoke runs)",
     )
@@ -372,6 +418,7 @@ def main(argv=None):
         sem_lists=args.sem_lists,
         rule_filter=args.rule_filter,
         strip_substrings=args.strip_dup_substrings,
+        quality_filter=args.quality_filter,
     )
     packed.write.mode("overwrite").parquet(args.output)
     stats["wall_sec"] = round(time.perf_counter() - t0, 3)

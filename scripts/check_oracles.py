@@ -36,12 +36,18 @@ def main(sf_dir="/root/testdata/sf0.01", *names):
 
     selected = names or [n for n in QUERIES if n in ORACLES]
     failures = 0
+    walls: dict[str, float] = {}
     for name in selected:
+        import time
+
         frame = None
+        t0 = time.perf_counter()
         try:
             frame = QUERIES[name](spark, sf_dir)
             spark_df = frame.toPandas()
+            t_spark = time.perf_counter() - t0
             duck_df = con.execute(ORACLES[name]).fetchdf()
+            walls[name] = t_spark
         except Exception as exc:
             print(f"FAIL {name}: {type(exc).__name__}: {exc}")
             failures += 1
@@ -104,7 +110,19 @@ def main(sf_dir="/root/testdata/sf0.01", *names):
             print(f"FAIL {name}: " + "; ".join(verdicts))
             failures += 1
         else:
-            print(f"ok   {name} ({len(spark_df)} rows)")
+            print(
+                f"ok   {name} ({len(spark_df)} rows) "
+                f"spark={walls[name]:.2f}s",
+                flush=True,
+            )
+    # sweep-wall accounting (r4 verdict item 1: a time-boxed driver run
+    # must reach the last query, so the dominators need to be visible)
+    if len(walls) > 1:
+        total = sum(walls.values())
+        top = sorted(walls, key=walls.get, reverse=True)[:10]
+        print(f"sweep spark wall {total:.1f}s over {len(walls)} queries; slowest:")
+        for name in top:
+            print(f"  {walls[name]:6.2f}s  {name}")
     print(f"{len(selected) - failures}/{len(selected)} queries match")
     return failures
 

@@ -89,6 +89,48 @@ def test_bpe_oracle_sql_matches_reference():
     assert [tuple(r) for r in rows] == exp_merges
 
 
+def test_bpe_encode_replays_training(spark):
+    """Tokenizer APPLY differential: encoding the training corpus with
+    the trained table must reproduce the trainer's final stream exactly
+    (bpe_encode replays the same in-order greedy passes), and the
+    scalar reference agrees.  Unseen-document behavior is covered by
+    the registered ``bpe_encode`` oracle query on the disjoint shard."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merge_rounds,
+        char_tokens,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    merges, final = bpe_merge_rounds(
+        char_tokens(df).select("doc_id", "toks"), rounds=6
+    )
+    trainer_streams = {r["doc_id"]: r["toks"] for r in final.collect()}
+    encoded = bpe_encode(df, merges, text_col="text", out_col="tokens")
+    got = {r["doc_id"]: r["tokens"] for r in encoded.collect()}
+    assert got == trainer_streams
+    _, exp_streams = ref_bpe(DOCS, 6)
+    assert got == exp_streams
+    # unseen text through the same table: cascading multi-char merges
+    # apply in training order (plain (lft, rgt) tuples accepted too)
+    unseen = spark.createDataFrame([(99, "abab aaaa")], "doc_id long, text string")
+    pairs = [(m["lft"], m["rgt"]) for m in merges]
+    got_unseen = bpe_encode(unseen, pairs).collect()[0]["tokens"]
+    ref = {99: list("abab aaaa")}
+    for lft, rgt in pairs:
+        for key, toks in ref.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == lft and toks[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            ref[key] = out
+    assert got_unseen == ref[99]
+
+
 def test_bpe_stops_when_pairs_run_out(spark):
     from ds4sd_docling_tableformer_onnx_spark.operators.bpe import (
         bpe_merge_rounds,

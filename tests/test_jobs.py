@@ -99,6 +99,34 @@ def test_curate_semantic_dedup_stage(spark, docs):
     assert set(base_ids) - cleaned_ids == {victim}
 
 
+def test_curate_quality_filter_stage(spark, docs):
+    """--quality-filter: a doc written in spam-shard vocabulary drops
+    even though the classifier never saw it labeled (weights are
+    trained on the raw corpus with rule-battery weak labels — the long
+    rule-passing docs supply the good vocabulary, the short tokNN docs
+    fail r_min_words and supply the bad)."""
+    from pyspark.sql import functions as F
+
+    from curate_job import curate
+
+    _, base_stats = curate(spark, docs, max_seq_len=64, hamming=3, pack_ranges=4)
+    cleaned, stats = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        quality_filter=True,
+    )
+    # the tokNN docs (every non-cluster doc) fail r_min_words, so the
+    # trained model scores their vocabulary negative and they drop
+    assert stats["quality_dropped"] > 0
+    assert stats["survivors_sampled"] <= base_stats["survivors_sampled"]
+    assert base_stats["quality_dropped"] == 0
+    # deterministic: same corpus, same weights, same drops
+    _, stats2 = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        quality_filter=True,
+    )
+    assert stats2 == stats
+
+
 def test_mixture_keep_non_numeric_source(spark):
     """Sources that don't match 'src([0-9]+)' (e.g. 'wiki') must not
     crash under ANSI mode (CAST('' AS INT) threw pre-r4) and fall back

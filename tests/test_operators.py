@@ -472,6 +472,40 @@ def test_semantic_dedup_cluster_cap_guard(spark):
     assert all(r["capped"] for r in rows_out)
 
 
+def test_quality_classifier_generalizes_vocab(spark):
+    """Planted vocabulary separation: a naive-Bayes model trained on
+    labeled docs must score UNSEEN docs written in the good vocabulary
+    positive and bad-vocabulary docs negative — the weak-label
+    generalization the curate stage relies on."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.classifier import (
+        quality_scores,
+        train_quality_weights,
+    )
+
+    good_words = "clear prose sentence reads naturally informative".split()
+    bad_words = "zzspam clickzz herezz buyzz nowzz winzz".split()
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(good_words[i % 3 :] + good_words), True))
+        rows.append((100 + i, " ".join(bad_words[i % 3 :] + bad_words), False))
+    train = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    weights = train_quality_weights(train, n_buckets=256)
+    assert len(weights) == 256 and all(isinstance(w, int) for w in weights)
+
+    unseen = spark.createDataFrame(
+        [
+            (1000, "informative prose reads clear"),
+            (1001, "buyzz winzz clickzz nowzz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["q_score"]
+        for r in quality_scores(unseen, weights).collect()
+    }
+    assert got[1000] > 0 and got[1001] < 0
+
+
 def test_bloom_prefilter_guarantees(spark):
     """No false negatives ever; false positives bounded well below the
     worst case on novel keys."""

@@ -332,6 +332,29 @@ def test_dsir_scoring_pass_is_narrow_takeordered(spark):
     assert "Exchange" not in plan
 
 
+def test_quality_scoring_pass_is_shuffle_free(spark):
+    """After the one bounded (label, bucket)-histogram collect, the
+    quality classifier's scoring pass is a pure codegen map stage —
+    the weight table rides as an array literal, so scoring 100 TB
+    never exchanges a byte (same discipline as DSIR scoring)."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(
+        QUERIES["quality_classifier"](spark, "/root/testdata/sf0.001")
+    )
+    assert "Exchange" not in plan
+
+
+def test_bpe_encode_plan_is_scan_project(spark):
+    """Tokenizer APPLY is ONE Arrow-batched stage: scan -> project,
+    no shuffle (the merge table travels in the UDF closure)."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["bpe_encode"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 def test_global_shuffle_has_exactly_one_exchange(spark):
     """The only wide stage is the per-shard window partitioning —
     shard count is the parallelism knob, nothing else shuffles."""
