@@ -5096,3 +5096,73 @@ _register(
     FROM documents
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Per-source quota sampling — the "cap any one domain" stage every
+# web-corpus recipe runs (C4 caps pages per URL prefix, RefinedWeb and
+# FineWeb cap per registered domain) so no single crawl host dominates
+# the training mixture.  Keep-at-most-N per source, deterministically:
+# docs ranked by the corpus-wide md5-u32 (functions/sampling.u32_md5 —
+# the one hash every sampler here derives from), smallest first.
+#
+# Scale shape: a naive row_number() over (PARTITION BY source) sends
+# every row of a hot domain to ONE task — at 100 TB a mega-domain with
+# 10^9 pages is a straggler/OOM. Two-phase instead: phase 1 ranks
+# within (source, salt-bucket) — _QUOTA_SALTS-way parallel even for a
+# single domain — and keeps ≤N per bucket; phase 2 re-ranks the ≤N×S
+# survivors per source (bounded by construction, so the second window
+# is over a tiny frame). A row in a source's true global top-N has at
+# most N-1 bucket-mates ahead of it, so it always survives phase 1,
+# and all its global predecessors survive with it — phase-2 rank
+# therefore EQUALS the single-window global rank, which is what the
+# one-window DuckDB oracle checks.
+# ---------------------------------------------------------------------------
+
+_QUOTA_N = 10
+_QUOTA_SALTS = 8
+
+
+def q_source_quota_sample(spark, sf_dir):
+    """(doc_id, source, quota_rank): the ≤N docs kept per source and
+    each one's deterministic rank within its source's quota."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import u32_md5
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    h = u32_md5("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", h.alias("h"), (h % _QUOTA_SALTS).alias("salt")
+    )
+    local = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    survivors = ranked.withColumn("lr", F.row_number().over(local)).where(
+        F.col("lr") <= _QUOTA_N
+    )
+    final = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn(
+            "quota_rank", F.row_number().over(final).cast("long")
+        )
+        .where(F.col("quota_rank") <= _QUOTA_N)
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+_register(
+    "source_quota_sample",
+    q_source_quota_sample,
+    f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+        FROM documents WHERE source IS NOT NULL
+    )
+    SELECT doc_id, source, CAST(quota_rank AS BIGINT) AS quota_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS quota_rank
+        FROM h
+    ) WHERE quota_rank <= {_QUOTA_N}
+    """,
+)

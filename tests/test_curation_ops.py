@@ -243,3 +243,42 @@ def test_tfidf_keywords_rank_semantics(spark):
         assert len(grp) <= _TFIDF_K
         s = list(grp["score_int"])
         assert s == sorted(s, reverse=True)  # ranks follow scores
+
+
+def test_source_quota_sample_matches_single_window(spark):
+    """The skew-safe two-phase plan must EQUAL the naive one-window
+    rank (the property the oracle checks, asserted here independently
+    of DuckDB), every source capped at the quota, ranks dense from 1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ds4sd_docling_tableformer_onnx_spark.functions.sampling import u32_md5
+    from ds4sd_docling_tableformer_onnx_spark.queries import _QUOTA_N
+
+    pdf = (
+        QUERIES["source_quota_sample"](spark, SF)
+        .toPandas()
+        .sort_values(["source", "quota_rank"])
+        .reset_index(drop=True)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    naive = (
+        docs.where(F.col("source").isNotNull())
+        .select("doc_id", "source", u32_md5("doc_id").alias("h"))
+        .withColumn(
+            "quota_rank",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("h", "doc_id"))
+            .cast("long"),
+        )
+        .where(F.col("quota_rank") <= _QUOTA_N)
+        .select("doc_id", "source", "quota_rank")
+        .toPandas()
+        .sort_values(["source", "quota_rank"])
+        .reset_index(drop=True)
+    )
+    assert pdf.equals(naive)
+    counts = pdf.groupby("source")["quota_rank"].agg(["size", "min", "max"])
+    assert (counts["size"] <= _QUOTA_N).all()
+    assert (counts["min"] == 1).all()
+    assert (counts["max"] == counts["size"]).all()
