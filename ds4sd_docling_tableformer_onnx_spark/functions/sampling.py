@@ -83,3 +83,55 @@ def ring_sql(count_sql: str, expect: int) -> str:
     ), ring AS (
         SELECT (1 << p) AS n_buckets, 32 - p AS shift FROM nbp
     )"""
+
+
+def quota_rank_per_group(df, group_col: str, *, n: int, salts: int, id_col: str = "doc_id"):
+    """Skew-safe keep-at-most-``n``-rows-per-group: rows ranked by
+    (u32_md5(id), id), smallest first, annotated with ``quota_rank``
+    (1..n) and filtered to the survivors.
+
+    A single ``row_number() OVER (PARTITION BY group)`` funnels every
+    row of a hot group through ONE task — a mega-domain straggler at
+    corpus scale.  Two phases instead: rank within (group, salt) —
+    ``salts``-way parallel even for one group — keep <=n per bucket,
+    then re-rank the <=n*salts bounded survivors per group.  A row in
+    the true global top-n has at most n-1 bucket-mates ahead of it, so
+    it always survives phase 1 together with all its predecessors;
+    phase-2 rank therefore EQUALS the one-window global rank (asserted
+    against the naive window in tests, and what the one-window DuckDB
+    oracle computes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    h = u32_md5(id_col)
+    ranked = df.withColumn("_h", h).withColumn("_salt", h % salts)
+    local = Window.partitionBy(group_col, "_salt").orderBy("_h", id_col)
+    survivors = ranked.withColumn("_lr", F.row_number().over(local)).where(
+        F.col("_lr") <= n
+    )
+    final = Window.partitionBy(group_col).orderBy("_h", id_col)
+    return (
+        survivors.withColumn("quota_rank", F.row_number().over(final).cast("long"))
+        .where(F.col("quota_rank") <= n)
+        .drop("_h", "_salt", "_lr")
+    )
+
+
+def sqrt_rebalance_thresholds(counts: dict[str, int]) -> dict[str, int]:
+    """Temperature-rebalance keep thresholds (XLM-R alpha-sampling with
+    alpha = 1/2): target share q_g ~ sqrt(n_g), realized WITHOUT
+    replacement by per-group keep rate r_g = sqrt(n_min / n_g) — the
+    rarest group keeps everything, a group 100x larger keeps 10%.
+    Returned as integer u32 thresholds (keep iff u32_md5(id) < t_g).
+
+    alpha is pinned at 1/2 deliberately: IEEE-754 requires division
+    and sqrt to be correctly rounded (pow is NOT), so
+    ``floor(2^32 * sqrt(n_min / n_g))`` is bit-identical between
+    Python, Spark and DuckDB — the engine-replication discipline every
+    sampler here follows (CLAUDE.md)."""
+    import math
+
+    mn = min(counts.values())
+    return {
+        g: math.floor(4294967296 * math.sqrt(mn / c)) for g, c in counts.items()
+    }

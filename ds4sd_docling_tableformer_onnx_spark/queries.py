@@ -5124,29 +5124,21 @@ _QUOTA_SALTS = 8
 
 def q_source_quota_sample(spark, sf_dir):
     """(doc_id, source, quota_rank): the ≤N docs kept per source and
-    each one's deterministic rank within its source's quota."""
-    from pyspark.sql import Window
+    each one's deterministic rank within its source's quota.  ONE
+    shared implementation (functions/sampling.quota_rank_per_group),
+    also the curate job's --source-quota stage."""
     from pyspark.sql import functions as F
 
-    from .functions.sampling import u32_md5
+    from .functions.sampling import quota_rank_per_group
 
-    docs = _read(spark, sf_dir, "documents").where(F.col("source").isNotNull())
-    h = u32_md5("doc_id")
-    ranked = docs.select(
-        "doc_id", "source", h.alias("h"), (h % _QUOTA_SALTS).alias("salt")
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("source").isNotNull())
+        .select("doc_id", "source")
     )
-    local = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
-    survivors = ranked.withColumn("lr", F.row_number().over(local)).where(
-        F.col("lr") <= _QUOTA_N
-    )
-    final = Window.partitionBy("source").orderBy("h", "doc_id")
-    return (
-        survivors.withColumn(
-            "quota_rank", F.row_number().over(final).cast("long")
-        )
-        .where(F.col("quota_rank") <= _QUOTA_N)
-        .select("doc_id", "source", "quota_rank")
-    )
+    return quota_rank_per_group(
+        docs, "source", n=_QUOTA_N, salts=_QUOTA_SALTS
+    ).select("doc_id", "source", "quota_rank")
 
 
 _register(
@@ -5164,5 +5156,67 @@ _register(
                    AS quota_rank
         FROM h
     ) WHERE quota_rank <= {_QUOTA_N}
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Temperature language rebalance — the multilingual-corpus companion
+# to the per-source quota: XLM-R / mT5 alpha-sampling (alpha = 1/2)
+# flattens the language distribution so high-resource languages stop
+# drowning out the tail.  Data-DEPENDENT rates (unlike mixture_sample's
+# fixed per-source rule): per-lang keep rate sqrt(n_min / n_lang),
+# realized as integer u32 thresholds (functions/sampling.
+# sqrt_rebalance_thresholds — alpha pinned at 1/2 because IEEE
+# division+sqrt are correctly rounded, so Python/Spark/DuckDB derive
+# bit-identical thresholds; pow would not be).
+#
+# Scale shape: one map-side-combined groupBy(lang) count (result rows
+# = #languages, a few hundred at worst — bounded driver collect), then
+# ONE narrow filter pass with the thresholds as a literal map.  No
+# join, no second shuffle, nothing proportional to corpus size leaves
+# the executors.
+# ---------------------------------------------------------------------------
+
+
+def q_lang_temperature_sample(spark, sf_dir):
+    """(doc_id, lang) surviving alpha=1/2 temperature rebalancing."""
+    from itertools import chain
+
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import sqrt_rebalance_thresholds, u32_md5
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    thr = sqrt_rebalance_thresholds(counts)
+    thr_map = F.create_map(
+        *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in sorted(thr.items()))
+    )
+    return docs.where(u32_md5("doc_id") < thr_map[F.col("lang")]).select(
+        "doc_id", "lang"
+    )
+
+
+_register(
+    "lang_temperature_sample",
+    q_lang_temperature_sample,
+    """
+    WITH c AS (
+        SELECT lang, count(*) AS cnt FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ), thr AS (
+        SELECT lang,
+               CAST(floor(4294967296 * sqrt(
+                   CAST((SELECT min(cnt) FROM c) AS DOUBLE) / cnt
+               )) AS BIGINT) AS t
+        FROM c
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < thr.t
     """,
 )

@@ -68,6 +68,7 @@ def curate(
     rule_filter: bool = False,
     strip_substrings: bool = False,
     quality_filter: bool = False,
+    source_quota: int | None = None,
 ):
     """documents (doc_id, text, lang, source, ...) -> curated, packed
     survivors.  Returns (result_df, stats_dict).
@@ -102,7 +103,12 @@ def curate(
       labels are never degenerate when ``rule_filter`` also runs),
       then documents scoring <= 0 drop.  Generalizes the rule signal:
       a doc passing every rule but written in "bad-doc" vocabulary
-      still drops.
+      still drops;
+    - ``source_quota``: cap every source at N docs (C4/RefinedWeb-style
+      domain caps; functions/sampling.quota_rank_per_group — the
+      ``source_quota_sample`` oracle semantics, skew-safe two-phase
+      top-N by the shared md5-u32 rank; a NULL source is its own
+      capped group).
 
     Every output row also carries ``split`` ('train'/'holdout', ~10%),
     hashed on the near-dup GROUP id so no holdout doc has a near-dup
@@ -181,6 +187,21 @@ def curate(
             .drop("n_words", "q_score")
         )
         n_quality_dropped = before - docs.count()
+
+    # 0d. per-source quota: cap any one domain's share before the
+    # gram/simhash stages pay for its excess (two bounded windows —
+    # cheap next to the near-dup joins)
+    n_quota_dropped = 0
+    if source_quota is not None:
+        from ds4sd_docling_tableformer_onnx_spark.functions.sampling import (
+            quota_rank_per_group,
+        )
+
+        before = docs.count()
+        docs = quota_rank_per_group(
+            docs, "source", n=source_quota, salts=8
+        ).drop("quota_rank")
+        n_quota_dropped = before - docs.count()
 
     # 1. near-dup groups -> canonical survivor per group.  survivors is
     # persisted: the hygiene counts, the sampling filter, and the
@@ -321,6 +342,7 @@ def curate(
         "rule_dropped": int(n_rule_dropped),
         "substring_tokens_removed": int(n_sub_tokens_removed),
         "quality_dropped": int(n_quality_dropped),
+        "quota_dropped": int(n_quota_dropped),
         "contaminated_dropped": int(n_contaminated),
         "repetitive_dropped": int(n_repetitive),
         "semantic_dropped": int(n_semantic),
@@ -388,6 +410,11 @@ def main(argv=None):
         "(rule-battery weak labels) and drop docs scoring <= 0",
     )
     parser.add_argument(
+        "--source-quota", type=int, default=None,
+        help="cap every source at N docs (deterministic md5-u32 rank; "
+        "skew-safe two-phase top-N) before the dedup stages",
+    )
+    parser.add_argument(
         "--sf-dir", default=None,
         help="read documents from <sf-dir>/documents.parquet (smoke runs)",
     )
@@ -419,6 +446,7 @@ def main(argv=None):
         rule_filter=args.rule_filter,
         strip_substrings=args.strip_dup_substrings,
         quality_filter=args.quality_filter,
+        source_quota=args.source_quota,
     )
     packed.write.mode("overwrite").parquet(args.output)
     stats["wall_sec"] = round(time.perf_counter() - t0, 3)

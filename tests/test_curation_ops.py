@@ -282,3 +282,32 @@ def test_source_quota_sample_matches_single_window(spark):
     assert (counts["size"] <= _QUOTA_N).all()
     assert (counts["min"] == 1).all()
     assert (counts["max"] == counts["size"]).all()
+
+
+def test_lang_temperature_sample_flattens_distribution(spark):
+    """alpha=1/2 rebalance: the rarest language keeps ~everything
+    (threshold is exactly 2^32), larger languages keep ~sqrt(n_min/n)
+    of their docs, and kept counts are hash-deterministic."""
+    import math
+
+    from ds4sd_docling_tableformer_onnx_spark.functions.sampling import (
+        sqrt_rebalance_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in docs.where(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    thr = sqrt_rebalance_thresholds(counts)
+    mn = min(counts.values())
+    assert thr[min(counts, key=counts.get)] == 1 << 32  # rarest keeps all
+    pdf = QUERIES["lang_temperature_sample"](spark, SF).toPandas()
+    kept = pdf.groupby("lang").size()
+    for lang, n in counts.items():
+        expect = n * math.sqrt(mn / n)
+        # md5-uniform binomial-ish tolerance at tiny sf
+        assert abs(kept.get(lang, 0) - expect) <= 3 * math.sqrt(expect) + 2, lang

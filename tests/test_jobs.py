@@ -219,3 +219,45 @@ def test_curate_rule_and_substring_stages(spark):
     assert (pdf["n_tokens"] == 25).all()
     assert set(pdf["split"]) <= {"train", "holdout"}
     assert (pdf.groupby("group_id")["split"].nunique() == 1).all()
+
+
+def test_curate_source_quota_stage(spark, docs):
+    """--source-quota N: every source capped at N BEFORE dedup, the
+    kept set is exactly the N smallest md5-u32 ranks per source, and
+    the stage is deterministic."""
+    from pyspark.sql import functions as F
+
+    from curate_job import curate
+    from ds4sd_docling_tableformer_onnx_spark.functions.sampling import u32_md5
+
+    quota = 12
+    packed, stats = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        source_quota=quota,
+    )
+    # 240 docs over 6 sources (40 each) -> exactly 6*quota survive 0d
+    assert stats["quota_dropped"] == 240 - 6 * quota
+    # downstream stages only see capped sources: every packed doc is in
+    # the per-source md5-u32 top-`quota` of the raw corpus
+    kept = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id",
+            F.row_number()
+            .over(
+                __import__("pyspark").sql.Window.partitionBy("source").orderBy(
+                    u32_md5("doc_id"), "doc_id"
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= quota)
+        .collect()
+    }
+    packed_ids = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    assert packed_ids <= kept
+    _, stats2 = curate(
+        spark, docs, max_seq_len=64, hamming=3, pack_ranges=4,
+        source_quota=quota,
+    )
+    assert stats2 == stats
