@@ -118,6 +118,8 @@ HEADLINE = [
     "scd2_dimension",
     "contrastive_triplets",
     "tfidf_keywords",
+    "source_quota_sample",
+    "lang_temperature_sample",
 ]
 
 

@@ -5220,3 +5220,88 @@ _register(
           < thr.t
     """,
 )
+
+# ---------------------------------------------------------------------------
+# CSV + ORC sink/source bridges — the other two exchange formats
+# pipelines meet at the edges (CSV from legacy exports, ORC from Hive
+# warehouses).  Same lossless-proof contract as jsonl_roundtrip: write
+# the documents table out, read it back with an EXPLICIT schema (never
+# an inference pass — that is a full extra scan at corpus scale), and
+# let the oracle read the ORIGINAL parquet so any quoting/escaping/
+# type-coercion mangling fails the md5(text) value hash.
+#
+# Scale notes: CSV is written with quoteAll+escape so embedded
+# delimiters/newlines survive, but multiline-quoted CSV is NOT
+# line-splittable — Spark reads each such file in one task, so the
+# write keeps many small-bounded files (the JSONL bridge is the
+# splittable text format; CSV is for interop only).  ORC is columnar,
+# splittable, predicate-pushdown-capable — a peer of parquet, and the
+# round-trip proves the engine is not parquet-locked.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_projection(df):
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents
+"""
+
+
+#: ONE definition of the CSV dialect (write and read must agree or the
+#: bridge silently mangles quotes/newlines) — the hostile-content unit
+#: test reuses these same dicts, so the dialect cannot drift from what
+#: the test proves lossless.
+_CSV_WRITE_OPTS = {"header": True, "quoteAll": True, "escape": '"'}
+_CSV_READ_OPTS = {"header": True, "escape": '"', "multiLine": True}
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """(doc_id, lang, source, n_chars, text_md5) read back from a
+    quoted-CSV copy of the documents table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="csv_rt_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    (
+        docs.coalesce(8)
+        .write.mode("overwrite")
+        .options(**_CSV_WRITE_OPTS)
+        .csv(f"{work}/docs")
+    )
+    out = spark.read.options(**_CSV_READ_OPTS).schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).csv(f"{work}/docs")
+    return _roundtrip_projection(out)
+
+
+_register("csv_roundtrip", q_csv_roundtrip, _ROUNDTRIP_ORACLE)
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """(doc_id, lang, source, n_chars, text_md5) read back from an ORC
+    copy of the documents table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = _read(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="orc_rt_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs.coalesce(4).write.mode("overwrite").orc(f"{work}/docs")
+    out = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(f"{work}/docs")
+    return _roundtrip_projection(out)
+
+
+_register("orc_roundtrip", q_orc_roundtrip, _ROUNDTRIP_ORACLE)

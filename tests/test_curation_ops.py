@@ -311,3 +311,42 @@ def test_lang_temperature_sample_flattens_distribution(spark):
         expect = n * math.sqrt(mn / n)
         # md5-uniform binomial-ish tolerance at tiny sf
         assert abs(kept.get(lang, 0) - expect) <= 3 * math.sqrt(expect) + 2, lang
+
+
+def test_csv_bridge_survives_hostile_content(spark, tmp_path):
+    """The sf corpora contain no delimiters/quotes/newlines, so the
+    csv_roundtrip oracle alone can't prove the dialect is lossless —
+    this plants them: embedded commas, double quotes, CRLF/LF
+    newlines, leading zeros, unicode, empty string and NULL all
+    round-trip byte-exactly under the SAME option dicts the query
+    uses."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import (
+        _CSV_READ_OPTS,
+        _CSV_WRITE_OPTS,
+    )
+
+    rows = [
+        (1, 'a,b,"c" d', "en"),
+        (2, "line1\nline2\r\nline3", "de"),
+        (3, '","', "fr"),
+        (4, "0042 héllo ✓ \t tab", "ja"),
+        (5, "", "en"),
+        (6, None, "en"),
+        (7, '"""', "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "csv")
+    df.coalesce(1).write.options(**_CSV_WRITE_OPTS).csv(out)
+    back = (
+        spark.read.options(**_CSV_READ_OPTS)
+        .schema("doc_id long, text string, lang string")
+        .csv(out)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    # quoteAll writes NULL and '' identically (""); explicit-schema read
+    # returns both as NULL — the ONE documented coercion of the dialect
+    want.loc[want["text"] == "", "text"] = None
+    assert back.equals(want)
