@@ -120,6 +120,7 @@ HEADLINE = [
     "tfidf_keywords",
     "source_quota_sample",
     "lang_temperature_sample",
+    "winnow_fingerprints",
 ]
 
 

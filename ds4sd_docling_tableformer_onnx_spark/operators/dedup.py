@@ -266,3 +266,67 @@ def bloom_prefilter(
     return probe_df.join(key_hits, key_col, "left").withColumn(
         "maybe_dup", F.coalesce(F.col("maybe_dup"), F.lit(False))
     )
+
+
+def winnow_fingerprints(
+    df,
+    *,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every word ``k``-gram, slide a
+    window of ``w`` consecutive gram hashes, keep each window's
+    minimum (RIGHTMOST occurrence on ties), and emit the distinct
+    ``(id, pos, fp)`` selections.  Guarantee: two documents sharing
+    any run of >= w + k - 1 words share at least one fingerprint —
+    the local-dedup/plagiarism primitive between exact hashing (too
+    brittle) and minhash (no positions).
+
+    Scale shape: the WHOLE computation is per-row array expressions —
+    split -> gram slices -> md5-derived 60-bit hashes -> windowed
+    rightmost-argmin -> array_distinct -> explode.  No shuffle, no
+    UDF, nothing leaves the row until the final narrow explode; the
+    plan is a single WholeStageCodegen scan like the chunker's.
+
+    The gram hash is the first 15 hex digits of md5 (60 bits, always
+    positive in a signed 64-bit lane) — NOT xxhash64 — so the DuckDB
+    oracle derives bit-identical values (the functions/sampling.u32_md5
+    discipline, widened to 60 bits for gram-collision headroom).
+    """
+    from pyspark.sql import functions as F
+
+    ws = F.split(F.col(text_col), " ", -1)
+    # docs shorter than one full window cannot emit a fingerprint
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.size(ws) >= k + w - 1)
+    ).select(id_col, ws.alias("ws"))
+
+    gram_hash = lambda i: F.conv(  # noqa: E731 — readability inside transform
+        F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("ws"), i, k))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    hashed = base.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (k - 1)), gram_hash
+        ).alias("h"),
+    )
+    win = lambda i: F.slice(F.col("h"), i, w)  # noqa: E731
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("h") - (w - 1)),
+        lambda i: F.struct(
+            # rightmost min: first position in the REVERSED window
+            (i + w - F.array_position(F.reverse(win(i)), F.array_min(win(i))))
+            .cast("long")
+            .alias("pos"),
+            F.array_min(win(i)).alias("fp"),
+        ),
+    )
+    return (
+        hashed.select(id_col, F.explode(F.array_distinct(sel)).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )

@@ -5305,3 +5305,59 @@ def q_orc_roundtrip(spark, sf_dir):
 
 
 _register("orc_roundtrip", q_orc_roundtrip, _ROUNDTRIP_ORACLE)
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the MOSS
+# algorithm): positional document fingerprints with the guarantee that
+# any shared word run >= W + K - 1 long yields a shared fingerprint.
+# The local-similarity primitive between exact hashing and minhash.
+# Plan is one shuffle-free codegen pass (see operators/dedup.py:
+# winnow_fingerprints); the oracle replays the same windowed
+# rightmost-argmin over identical md5-derived 60-bit gram hashes.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4
+_WINNOW_W = 4
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """(doc_id, pos, fp): distinct winnowing selections per document."""
+    from .operators.dedup import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+_register(
+    "winnow_fingerprints",
+    q_winnow_fingerprints,
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE text IS NOT NULL AND len(string_split(text, ' '))
+              >= {_WINNOW_K + _WINNOW_W - 1}
+    ), hashed AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(ws) - {_WINNOW_K - 1} + 1),
+                   i -> ('0x' || substr(md5(array_to_string(
+                            ws[i:i+{_WINNOW_K - 1}], ' ')), 1, 15))::BIGINT
+               ) AS h
+        FROM base
+    ), sel AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(h) - {_WINNOW_W - 1} + 1),
+                   i -> {{'pos': i + {_WINNOW_W}
+                              - list_position(list_reverse(h[i:i+{_WINNOW_W - 1}]),
+                                              list_min(h[i:i+{_WINNOW_W - 1}])),
+                          'fp': list_min(h[i:i+{_WINNOW_W - 1}])}}
+               ) AS fps
+        FROM hashed
+    )
+    -- list_distinct over structs is unimplemented in DuckDB: dedup
+    -- after unnest instead (same set the Spark array_distinct yields)
+    SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+    FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
+    """,
+)

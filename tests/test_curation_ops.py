@@ -350,3 +350,32 @@ def test_csv_bridge_survives_hostile_content(spark, tmp_path):
     # returns both as NULL — the ONE documented coercion of the dialect
     want.loc[want["text"] == "", "text"] = None
     assert back.equals(want)
+
+
+def test_winnow_guarantee_and_tie_rule(spark):
+    """The winnowing theorem: two docs sharing a word run of length
+    >= w + k - 1 share at least one fingerprint at the corresponding
+    positions; and on hash ties inside a window the RIGHTMOST minimum
+    is selected (a doc of one repeated word selects position i+w-1 of
+    each window, never position i)."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k = w = 4
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing"  # 7 = w+k-1
+    rows = [
+        (1, "aa bb cc " + shared + " dd ee"),
+        (2, "zz yy " + shared + " xx ww vv uu"),
+        (3, " ".join(["rep"] * 12)),  # all grams identical -> all ties
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pdf = winnow_fingerprints(df, k=k, w=w).toPandas()
+    f1 = set(pdf[pdf.doc_id == 1]["fp"])
+    f2 = set(pdf[pdf.doc_id == 2]["fp"])
+    assert f1 & f2, "shared w+k-1 run must share a fingerprint"
+    ties = pdf[pdf.doc_id == 3]
+    # 12 words -> 9 identical gram hashes -> 6 windows, every window's
+    # rightmost-min is its LAST slot: selections are positions 4..9
+    assert sorted(ties["pos"]) == list(range(w, 10))
+    assert ties["fp"].nunique() == 1

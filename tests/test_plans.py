@@ -362,3 +362,14 @@ def test_global_shuffle_has_exactly_one_exchange(spark):
 
     plan = _executed_plan(QUERIES["global_shuffle"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 1
+
+
+def test_winnow_fingerprints_is_shuffle_free(spark):
+    """Winnowing never leaves the row until the final explode: grams,
+    hashes, windowed argmin and the distinct all happen in array
+    expressions — zero Exchange, zero Python worker."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["winnow_fingerprints"](spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
