@@ -5361,3 +5361,210 @@ _register(
     FROM (SELECT doc_id, unnest(fps) AS u FROM sel)
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Transcript-sequence operators over the events stream — the two
+# conversation-shaped reductions every transcript corpus needs before
+# extraction: (a) the role/action transition matrix (a data-quality
+# fingerprint of the dialog structure: user->assistant->tool loops at
+# the event level), and (b) conversation-level exact dedup — whole
+# ordered event-type sequences hashed per user, duplicate behavioural
+# traces marked keep-first.  Mirrors the turn-ordering discipline of
+# the extraction pipeline (conv_id grouping + stable turn_idx order,
+# operators/extract.py) on the driver-provided events table.
+#
+# Scale shape (100 TB): role_transitions is ONE window shuffle on
+# user_id (the same partitioning the extraction job already imposes on
+# conv_id) followed by a map-side-combined count — output is
+# |event_type|^2 rows, tiny.  sequence_dedup groups by user_id (one
+# shuffle), reduces each conversation to ONE 32-char signature row
+# (collect_list is bounded by conversation length — identical bound to
+# the extraction pipeline's per-conv grouping), then resolves
+# keep-first with a second window over the signature — rows entering
+# that second shuffle = #conversations, not #events.
+# ---------------------------------------------------------------------------
+
+
+def q_role_transitions(spark, sf_dir):
+    """(from_type, to_type, n_transitions): adjacent event-type
+    transition counts within each user's time-ordered event stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        F.lag("event_type", 1).over(win).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    return flagged.where(F.col("from_type").isNotNull()).groupBy(
+        "from_type", "to_type"
+    ).agg(F.count("*").cast("long").alias("n_transitions"))
+
+
+_register(
+    "role_transitions",
+    q_role_transitions,
+    """
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events
+    )
+    WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+
+
+def q_sequence_dedup(spark, sf_dir):
+    """(user_id, seq_md5, is_canonical): conversation-level exact dedup.
+    Each user's ordered event-type sequence is hashed; is_canonical
+    marks the smallest user_id per identical behavioural trace (the
+    keep-first rule of exact_dedup lifted from rows to sequences)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    # sort_array over (ts, event_id, event_type) structs gives the
+    # stable turn order; the signature string joins with the 0x1f unit
+    # separator (event types are short identifiers, never control
+    # chars — same framing as the oracle's string_agg).
+    seqs = events.groupBy("user_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                "\x1f",
+            )
+        ).alias("seq_md5")
+    )
+    win = Window.partitionBy("seq_md5")
+    return seqs.select(
+        "user_id",
+        "seq_md5",
+        (F.col("user_id") == F.min("user_id").over(win)).alias("is_canonical"),
+    )
+
+
+_register(
+    "sequence_dedup",
+    q_sequence_dedup,
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               md5(string_agg(event_type, chr(31) ORDER BY ts, event_id))
+                   AS seq_md5
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, seq_md5,
+           user_id = min(user_id) OVER (PARTITION BY seq_md5) AS is_canonical
+    FROM seqs
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates — the standard second
+# stage of a near-dup cascade (candidates from a cheap sketch, then an
+# exact string metric on the SURVIVORS only; e.g. Gyawali et al.
+# LREC 2020 run Levenshtein behind LSH exactly like this).  Both
+# engines ship levenshtein() built-in, so the oracle is exact.
+#
+# Two parity guards, mirrored on both sides:
+# - the metric runs on the 200-char prefix (bounded per-pair cost:
+#   levenshtein is O(len^2); an unbounded text would make one hot pair
+#   a straggler at corpus scale — same "cap the quadratic" discipline
+#   as max_bucket_rows);
+# - prefixes must be pure ASCII, checked as octet_length == char
+#   length: DuckDB's levenshtein counts BYTE edits while Spark's
+#   counts CHARACTER edits, so they agree exactly on ASCII and are
+#   excluded where they would diverge (documented engine asymmetry,
+#   probed: levenshtein('héllo','hello') = 2 in DuckDB, 1 in Spark).
+#
+# Scale shape: candidates come banded from simhash (never all-pairs);
+# two hash joins fetch the prefixes (pairs << corpus, AQE broadcasts
+# the pair side when small); similarity is exact integer permille —
+# (1000*lev) DIV max_len — so no float reaches the hash.
+# ---------------------------------------------------------------------------
+
+_EDIT_PREFIX = 200
+_EDIT_HAMMING_MAX = 8
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """(id_a, id_b, hamming, lev, sim_permille) for simhash candidates
+    at hamming <= 8 whose 200-char ASCII prefixes were compared."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    prefixes = docs.select(
+        "doc_id",
+        F.substring("text", 1, _EDIT_PREFIX).alias("prefix"),
+    ).where(
+        F.octet_length("prefix") == F.length("prefix")  # ASCII-only guard
+    )
+    cand = simhash_candidates(simhash_column(docs))
+    pairs = cand.where(F.col("hamming") <= _EDIT_HAMMING_MAX)
+    joined = (
+        pairs.join(
+            prefixes.select(
+                F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
+            ),
+            "id_a",
+        )
+        .join(
+            prefixes.select(
+                F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb")
+            ),
+            "id_b",
+        )
+    )
+    lev = F.levenshtein("pa", "pb")
+    max_len = F.greatest(F.length("pa"), F.length("pb"), F.lit(1))
+    out = joined.select(
+        "id_a",
+        "id_b",
+        "hamming",
+        lev.cast("long").alias("lev"),
+        # floor BEFORE subtracting == the oracle's integer `//`: the
+        # double quotient of ints <= 2e5 / <= 200 is exact on integer
+        # values and > ulp away otherwise, so floor() == integer div.
+        (F.lit(1000) - F.floor((F.lit(1000) * lev) / max_len)).cast(
+            "long"
+        ).alias("sim_permille"),
+    )
+    return adopt(out, *cached_inputs(cand))
+
+
+_register(
+    "edit_distance_pairs",
+    q_edit_distance_pairs,
+    f"""
+    WITH prefixes AS (
+        SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS prefix
+        FROM documents
+        WHERE strlen(substr(text, 1, {_EDIT_PREFIX}))
+              = length(substr(text, 1, {_EDIT_PREFIX}))
+    ), pairs AS (
+        SELECT id_a, id_b, hamming FROM ({_SIMHASH_PAIRS_SQL})
+        WHERE hamming <= {_EDIT_HAMMING_MAX}
+    )
+    SELECT p.id_a, p.id_b, p.hamming,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev,
+           CAST(1000 - (1000 * levenshtein(a.prefix, b.prefix))
+                       // greatest(length(a.prefix), length(b.prefix), 1)
+                AS BIGINT) AS sim_permille
+    FROM pairs p
+    JOIN prefixes a ON a.doc_id = p.id_a
+    JOIN prefixes b ON b.doc_id = p.id_b
+    """,
+)
