@@ -106,3 +106,39 @@ def conversation_documents(extracted, max_turns_per_doc: int = 10_000):
             ).alias("doc_sha256"),
         )
     )
+
+
+def salted_join(fact, dim, key: str, *, salts: int = 16, fact_id: str = None):
+    """Skew-safe equi-join: ``fact`` joined to a small-but-not-broadcast
+    ``dim`` on ``key`` with the hot-key shuffle spread over ``salts``
+    tasks.
+
+    A plain sort-merge join funnels EVERY fact row of a hot key through
+    one task — at transcript scale a mega-conversation or mega-domain
+    is a straggler/OOM (the north-star calls this out explicitly:
+    "heavy conversations handled via salted repartition").  AQE's
+    skew-join split handles the sort-merge case adaptively; this is the
+    explicit form for when AQE is off or the engine must PIN the shape
+    (deterministic task counts for lineage replay):
+
+    - fact rows get ``salt = u32_md5(fact_id) % salts`` (md5-derived,
+      replay-stable — never a nondeterministic rand());
+    - dim rows are replicated ``salts`` times (dim must be the small
+      side: replication is x``salts`` on the SMALL input only);
+    - the join key becomes (key, salt): a key with f fact rows lands in
+      ~f/salts-row chunks.
+
+    Result is row-identical to the unsalted join (the salt column is
+    internal and dropped).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.sampling import u32_md5
+
+    fact_id = fact_id or key
+    salted_fact = fact.withColumn("_salt", u32_md5(fact_id) % salts)
+    replicated = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i).cast("long") for i in range(salts)])),
+    )
+    return salted_fact.join(replicated, [key, "_salt"]).drop("_salt")

@@ -5568,3 +5568,158 @@ _register(
     JOIN prefixes b ON b.doc_id = p.id_b
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005) — the
+# streaming-friendly frequency sketch: d=4 hash rows x w=1024 buckets,
+# every cell exact-integer, hashes md5-derived (the u32_md5 discipline)
+# so DuckDB replicates the SKETCH itself, not just the answer.  The
+# verdict joins the sketch estimate against the exact count for the
+# top-20 terms: cms_est >= exact_cnt always (bound_ok is a structural
+# invariant — a false would mean the sketch update is wrong).
+#
+# Scale shape: the token stream is reduced by a map-side-combined
+# groupBy(term) FIRST, then each distinct term fans out to its 4
+# (row, bucket) cells — the sketch aggregate input is |vocab| x 4
+# rows, and the sketch itself is a FIXED 4,096 cells no matter the
+# corpus size (that is the point of CMS at 100 TB: memory O(d*w),
+# mergeable across partitions/streams by cell-wise sum).  The exact
+# top-20 side exists only as the verdict, exactly like
+# approx_distinct_verdict's exact branch.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """(term, exact_cnt, cms_est, overcount, bound_ok) for the top-20
+    corpus terms (count desc, term asc tie-break)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    terms = (
+        docs.select(
+            F.explode(F.split("text", "[\t\n\f\r ]+")).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+
+    def bucket(i):
+        salted = F.concat(F.lit(f"{i}\x1f"), F.col("term"))
+        u32 = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+        return (u32 % _CMS_W).alias("b")
+
+    cells = terms.select(
+        "term",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("r"), bucket(i))
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "exact_cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    sketch = cells.groupBy("r", "b").agg(F.sum("exact_cnt").alias("cell"))
+
+    topk = terms.orderBy(F.desc("exact_cnt"), "term").limit(_CMS_TOPK)
+    probe = cells.join(F.broadcast(topk.select("term")), "term")
+    est = (
+        probe.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "term",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("bound_ok"),
+    )
+
+
+_register(
+    "cms_heavy_hitters",
+    q_cms_heavy_hitters,
+    f"""
+    WITH terms AS (
+        SELECT word AS term, count(*) AS exact_cnt
+        FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ), cells AS (
+        SELECT term, exact_cnt, i AS r,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || chr(31) || term),
+                               1, 8))::UBIGINT % {_CMS_W} AS b
+        FROM terms, range({_CMS_D}) t(i)
+    ), sketch AS (
+        SELECT r, b, sum(exact_cnt) AS cell FROM cells GROUP BY r, b
+    ), topk AS (
+        SELECT term, exact_cnt FROM terms
+        ORDER BY exact_cnt DESC, term LIMIT {_CMS_TOPK}
+    )
+    SELECT c.term, t.exact_cnt,
+           CAST(min(s.cell) AS BIGINT) AS cms_est,
+           CAST(min(s.cell) - t.exact_cnt AS BIGINT) AS overcount,
+           min(s.cell) >= t.exact_cnt AS bound_ok
+    FROM topk t
+    JOIN cells c ON c.term = t.term
+    JOIN sketch s ON s.r = c.r AND s.b = c.b
+    GROUP BY c.term, t.exact_cnt
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Skew-salted dimension join — the explicit form of the skew handling
+# the extraction job gets from AQE + the salted two-phase rollup
+# (operators/extract.py:conversation_summaries).  The documents table
+# is deliberately source-skewed (web-corpus domains are Zipfian); the
+# per-source dim here is derived in-query (count + language census per
+# source) and joined back WITHOUT broadcast — the merge hint pins the
+# shuffle path so the salted shape is what actually executes (the plan
+# test asserts the (source, _salt) join keys).  Row-identical to the
+# plain join, which is exactly what the one-window oracle checks.
+# ---------------------------------------------------------------------------
+
+_SALT_BUCKETS = 16
+
+
+def q_salted_source_join(spark, sf_dir):
+    """(doc_id, source, source_docs, source_langs) via the salted join
+    path of operators/relational.salted_join."""
+    from pyspark.sql import functions as F
+
+    from .operators.relational import salted_join
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    dim = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("source_docs"),
+        F.count_distinct("lang").cast("long").alias("source_langs"),
+    )
+    fact = docs.select("doc_id", "source")
+    joined = salted_join(
+        fact, dim.hint("merge"), "source", salts=_SALT_BUCKETS, fact_id="doc_id"
+    )
+    return joined.select("doc_id", "source", "source_docs", "source_langs")
+
+
+_register(
+    "salted_source_join",
+    q_salted_source_join,
+    """
+    WITH dim AS (
+        SELECT source, count(*) AS source_docs,
+               count(DISTINCT lang) AS source_langs
+        FROM documents WHERE source IS NOT NULL GROUP BY source
+    )
+    SELECT d.doc_id, d.source, dim.source_docs, dim.source_langs
+    FROM documents d JOIN dim USING (source)
+    WHERE d.source IS NOT NULL
+    """,
+)

@@ -373,3 +373,21 @@ def test_winnow_fingerprints_is_shuffle_free(spark):
     plan = _executed_plan(QUERIES["winnow_fingerprints"](spark, "/root/testdata/sf0.001"))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """salted_source_join: the fact->dim join executes as a sort-merge
+    join keyed on (source, _salt) — the hot-source shuffle is spread
+    over the salt fan-out, never a single-task hot partition, and never
+    a broadcast (the merge hint pins the shuffle path the salt is for)."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["salted_source_join"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "BroadcastHashJoin" not in plan
+    join_line = next(
+        line for line in plan.splitlines() if "SortMergeJoin" in line
+    )
+    assert "source" in join_line and "_salt" in join_line
+    # results identical to the unsalted join: checked by the DuckDB
+    # oracle (scripts/check_oracles.py salted_source_join)
