@@ -5723,3 +5723,170 @@ _register(
     WHERE d.source IS NOT NULL
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings build — the retrieval-side data structure
+# (BM25 above consumes per-term stats; this materializes the full
+# postings relation a search/dedup system would persist): one row per
+# (term, doc) with term frequency and first position.  Positions are
+# indexes into the RAW whitespace-split array (before empty-token
+# filtering), the one array both engines provably produce identically
+# (simhash parity note) — so the oracle is exact on any corpus.
+#
+# Scale shape: posexplode -> ONE map-side-combined groupBy(term,
+# doc_id).  Output rows = distinct (term, doc) pairs — the index
+# itself, written partitioned by term-hash range in a real deployment.
+# No window, no driver collect.
+# ---------------------------------------------------------------------------
+
+
+def q_inverted_postings(spark, sf_dir):
+    """(term, doc_id, tf, first_pos): postings with 0-based first
+    position in the raw split array."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "[\t\n\f\r ]+")).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    return tokens.groupBy("term", "doc_id").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+_register(
+    "inverted_postings",
+    q_inverted_postings,
+    """
+    WITH tokens AS (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS term,
+               generate_subscripts(string_split_regex(text, '\\s+'), 1) - 1
+                   AS pos
+        FROM documents
+    )
+    SELECT term, doc_id, count(*) AS tf,
+           CAST(min(pos) AS BIGINT) AS first_pos
+    FROM tokens WHERE term <> ''
+    GROUP BY term, doc_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# PMI collocations — adjacent-bigram lift against unigram independence
+# (Church & Hanks 1990), the classic collocation/phrase-mining signal.
+# Scored as EXACT integer permille lift: (c_xy * 1000 * N) DIV
+# (c_x * c_y), N = total unigram tokens — monotone in PMI for a fixed
+# corpus, and integer-exact on both engines (int64 bound: c_xy*1000*N
+# stays under 2^63 through ~sf10 corpora; a 100 TB run would move the
+# product to decimal or log-space, noted here).  Top-50 by (lift desc,
+# bigram), min support 3 — deterministic tie-break so the SET is
+# value-stable.
+#
+# Scale shape: bigrams from ONE window-free self-zip (lead over the
+# split array via slice arithmetic happens inside the groupBy input —
+# no per-doc window); two map-side-combined aggs (bigram counts,
+# unigram counts) + a broadcast of the tiny total; top-k is a
+# TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 3
+_PMI_TOPK = 50
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """(w1, w2, c_xy, lift_permille) for the top-50 adjacent-word
+    collocations."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split("text", "[\t\n\f\r ]+"), lambda w: w != F.lit("")
+        ).alias("ws"),
+    )
+    unigrams = words.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    bigrams = (
+        words.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    F.slice(
+                        "ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .where(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    total = unigrams.agg(F.sum("c").alias("n")).select("n")
+    scored = (
+        bigrams.join(
+            F.broadcast(unigrams.withColumnRenamed("w", "w1")).withColumnRenamed(
+                "c", "c1"
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(unigrams.withColumnRenamed("w", "w2")).withColumnRenamed(
+                "c", "c2"
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            # int64 `div` (never a double round-trip: the product can
+            # pass 2^53 where floor(double/double) != DuckDB `//`)
+            F.expr("(c_xy * 1000L * n) div (c1 * c2)")
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_permille"), "w1", "w2"
+    ).limit(_PMI_TOPK)
+
+
+_register(
+    "pmi_collocations",
+    q_pmi_collocations,
+    f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ), unigrams AS (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(ws) AS w FROM words) GROUP BY w
+    ), bigrams AS (
+        SELECT w1, w2, count(*) AS c_xy FROM (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM words, LATERAL unnest(range(1, len(ws))) t(i)
+        )
+        GROUP BY w1, w2
+        HAVING count(*) >= {_PMI_MIN_COUNT}
+    ), total AS (SELECT sum(c) AS n FROM unigrams)
+    SELECT b.w1, b.w2, b.c_xy,
+           CAST((b.c_xy * 1000 * t.n) // (u1.c * u2.c) AS BIGINT)
+               AS lift_permille
+    FROM bigrams b
+    JOIN unigrams u1 ON u1.w = b.w1
+    JOIN unigrams u2 ON u2.w = b.w2
+    CROSS JOIN total t
+    ORDER BY lift_permille DESC, w1, w2
+    LIMIT {_PMI_TOPK}
+    """,
+)
