@@ -5890,3 +5890,441 @@ _register(
     LIMIT {_PMI_TOPK}
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth — the corpus-size planning curve every
+# tokenizer/dedup budget estimate starts from: cumulative distinct
+# vocabulary and cumulative token count at corpus deciles (by doc_id
+# order).  first-seen is an aggregation property (min doc per term), so
+# the whole curve costs ONE term-keyed agg — never a cumulative
+# distinct-count scan.
+#
+# Scale shape: explode -> map-side-combined groupBy(term) min(doc_id)
+# -> 10-row bucket agg + 10-row window.  The only shuffle carries one
+# row per DISTINCT term (vocab-sized, not corpus-sized); the decile
+# window is over exactly 10 rows.  Token deciles ride the same scan.
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_growth(spark, sf_dir):
+    """(decile, new_terms, vocab_cum, tokens, tokens_cum): Heaps-law
+    growth curve over doc_id-ordered corpus deciles."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    maxd = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", "[\t\n\f\r ]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    # decile of the doc each term FIRST appears in (int64-exact)
+    first_seen = (
+        tokens.groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .crossJoin(F.broadcast(maxd))
+        .select(F.expr("(first_doc * 10) div nd").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    tok_dec = (
+        tokens.crossJoin(F.broadcast(maxd))
+        .select(F.expr("(doc_id * 10) div nd").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("tokens"))
+    )
+    win = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # drive from token deciles (every decile holds docs); a decile with
+    # zero NEW terms must still carry its tokens into the cumulatives
+    return (
+        tok_dec.join(first_seen, "decile", "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+            "tokens",
+        )
+        .select(
+            "decile",
+            "new_terms",
+            F.sum("new_terms").over(win).cast("long").alias("vocab_cum"),
+            "tokens",
+            F.sum("tokens").over(win).cast("long").alias("tokens_cum"),
+        )
+    )
+
+
+_register(
+    "vocab_growth",
+    q_vocab_growth,
+    """
+    WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+    tokens AS (
+        SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents
+    ), tok AS (SELECT * FROM tokens WHERE term <> ''),
+    first_seen AS (
+        SELECT (min(doc_id) * 10) // (SELECT nd FROM nd) AS decile
+        FROM tok GROUP BY term
+    ), nt AS (
+        SELECT decile, count(*) AS new_terms FROM first_seen GROUP BY decile
+    ), td AS (
+        SELECT (doc_id * 10) // (SELECT nd FROM nd) AS decile,
+               count(*) AS tokens
+        FROM tok GROUP BY decile
+    )
+    SELECT CAST(td.decile AS BIGINT) AS decile,
+           CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY td.decile)
+                AS BIGINT) AS vocab_cum,
+           CAST(td.tokens AS BIGINT) AS tokens,
+           CAST(sum(td.tokens) OVER (ORDER BY td.decile) AS BIGINT)
+               AS tokens_cum
+    FROM td LEFT JOIN nt ON nt.decile = td.decile
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Chat-template rendering — the transcript->training-string step of the
+# north-rule pipeline: each conversation's time-ordered turns rendered
+# with role sentinels (`<|type|>payload`) into ONE string, truncated to
+# a fixed context budget with the overflow flagged (never silently
+# dropped).  Same conv grouping + stable turn ordering as the
+# extraction job (operators/extract.py); reference turn framing:
+# /root/reference (per-turn payload framing in its fixture corpus).
+#
+# Scale shape: ONE groupBy(user_id) shuffle; per-group state is one
+# conversation (the same bound the extraction pipeline already
+# accepts); render + truncate are codegen string ops.  Output rows =
+# #conversations.
+# ---------------------------------------------------------------------------
+
+_CTX_BUDGET_CHARS = 480
+
+
+def q_chat_template_render(spark, sf_dir):
+    """(user_id, rendered, n_turns, full_len, truncated): role-templated
+    conversation strings clipped to the context budget."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    convs = events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type", "props")
+                    )
+                ),
+                lambda s: F.concat(
+                    F.lit("<|"), s["event_type"], F.lit("|>"), s["props"]
+                ),
+            ),
+            "",
+        ).alias("full_s"),
+        F.count("*").cast("long").alias("n_turns"),
+    )
+    return convs.select(
+        "user_id",
+        F.substring("full_s", 1, _CTX_BUDGET_CHARS).alias("rendered"),
+        "n_turns",
+        F.length("full_s").cast("long").alias("full_len"),
+        (F.length("full_s") > _CTX_BUDGET_CHARS).alias("truncated"),
+    )
+
+
+_register(
+    "chat_template_render",
+    q_chat_template_render,
+    f"""
+    WITH convs AS (
+        SELECT user_id,
+               string_agg('<|' || event_type || '|>' || props, ''
+                          ORDER BY ts, event_id) AS full_s,
+               count(*) AS n_turns
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, substr(full_s, 1, {_CTX_BUDGET_CHARS}) AS rendered,
+           n_turns, CAST(length(full_s) AS BIGINT) AS full_len,
+           length(full_s) > {_CTX_BUDGET_CHARS} AS truncated
+    FROM convs
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Sliding context windows — overlapping K-turn windows (stride S) per
+# conversation, the example-assembly step for long conversations that
+# exceed one context: every turn appears in >=1 window, boundaries
+# deterministic.  Tail windows are kept partial (counted, not padded).
+#
+# Scale shape: the groupBy(user_id) shuffle is shared with the render
+# above; window expansion is an array slice explode (codegen, no second
+# shuffle) — output rows ~= n_turns/S per conversation.
+# ---------------------------------------------------------------------------
+
+_CTXW_K = 8
+_CTXW_STRIDE = 4
+
+
+def q_context_windows(spark, sf_dir):
+    """(user_id, win_start, n_in_window, window_text): stride-4 windows
+    of 8 role-templated turns per conversation."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    convs = events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type", "props"))
+            ),
+            lambda s: F.concat(
+                F.lit("<|"), s["event_type"], F.lit("|>"), s["props"]
+            ),
+        ).alias("turns")
+    )
+    starts = convs.select(
+        "user_id",
+        "turns",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("turns") - 1, F.lit(_CTXW_STRIDE)
+            )
+        ).alias("win_start"),
+    )
+    return starts.select(
+        "user_id",
+        F.col("win_start").cast("long").alias("win_start"),
+        F.least(
+            F.lit(_CTXW_K), F.size("turns") - F.col("win_start")
+        ).cast("long").alias("n_in_window"),
+        F.array_join(
+            F.slice("turns", F.col("win_start") + 1, F.lit(_CTXW_K)), ""
+        ).alias("window_text"),
+    )
+
+
+_register(
+    "context_windows",
+    q_context_windows,
+    f"""
+    WITH convs AS (
+        SELECT user_id,
+               list(('<|' || event_type || '|>' || props)
+                    ORDER BY ts, event_id) AS turns
+        FROM events GROUP BY user_id
+    ), starts AS (
+        SELECT user_id, turns, unnest(range(0, len(turns),
+                                            {_CTXW_STRIDE})) AS win_start
+        FROM convs
+    )
+    SELECT user_id, CAST(win_start AS BIGINT) AS win_start,
+           CAST(least({_CTXW_K}, len(turns) - win_start) AS BIGINT)
+               AS n_in_window,
+           array_to_string(turns[win_start + 1 : win_start + {_CTXW_K}], '')
+               AS window_text
+    FROM starts
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# MERGE-style batch upsert — the incremental-ingest primitive (SCD1
+# counterpart of the scd2_dimension operator): apply a source delta
+# (per-user event value totals) onto a target dimension (customer
+# balances), emitting the post-merge state with the action tag a MERGE
+# INTO would produce (update / insert / keep).  All money is integer
+# cents (round-to-long at source), so the merged totals are exact on
+# both engines.
+#
+# Scale shape: ONE map-side-combined agg on the delta + ONE full-outer
+# equi-join on the key — exactly the shuffle MERGE INTO costs; AQE
+# handles skewed keys.  No window, no driver collect.
+# ---------------------------------------------------------------------------
+
+
+def q_merge_upsert(spark, sf_dir):
+    """(key, action, balance_cents): customer balances after merging
+    per-user event-value deltas, MERGE INTO semantics."""
+    from pyspark.sql import functions as F
+
+    target = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("old_cents"),
+    )
+    source = (
+        _read(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("key"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("key")
+        .agg(F.sum("cents").alias("delta_cents"))
+    )
+    merged = target.join(source, "key", "full_outer")
+    return merged.select(
+        F.col("key").cast("long").alias("key"),
+        F.when(F.col("old_cents").isNull(), F.lit("insert"))
+        .when(F.col("delta_cents").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        (
+            F.coalesce(F.col("old_cents"), F.lit(0))
+            + F.coalesce(F.col("delta_cents"), F.lit(0))
+        ).cast("long").alias("balance_cents"),
+    )
+
+
+_register(
+    "merge_upsert",
+    q_merge_upsert,
+    """
+    WITH target AS (
+        SELECT c_custkey AS key,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS old_cents
+        FROM customer
+    ), source AS (
+        SELECT user_id AS key,
+               sum(CAST(round(value * 100) AS BIGINT)) AS delta_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(coalesce(t.key, s.key) AS BIGINT) AS key,
+           CASE WHEN t.old_cents IS NULL THEN 'insert'
+                WHEN s.delta_cents IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           CAST(coalesce(t.old_cents, 0) + coalesce(s.delta_cents, 0)
+                AS BIGINT) AS balance_cents
+    FROM target t FULL OUTER JOIN source s ON t.key = s.key
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# CUBE / GROUPING SETS — all four (segment x status) rollup combinations
+# in ONE pass (complements rollup_revenue's hierarchy and
+# pivot_status_by_segment's reshape).  Grouping flags are emitted as
+# explicit is_*_total ints rather than engine grouping_id bit vectors
+# (bit order is engine-defined; the flags aren't).
+#
+# Scale shape: broadcast dim join (customer segment onto orders), then
+# Spark expands CUBE into a single Expand + ONE map-side-combined agg —
+# 4x partial rows, never 4 scans.  Integer cents keep the hash exact.
+# ---------------------------------------------------------------------------
+
+
+def q_cube_revenue(spark, sf_dir):
+    """(segment, status, is_segment_total, is_status_total,
+    revenue_cents, n_orders): full CUBE over market segment x order
+    status."""
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        joined.cube("segment", "status")
+        .agg(
+            F.grouping("segment").cast("long").alias("is_segment_total"),
+            F.grouping("status").cast("long").alias("is_status_total"),
+            F.sum("cents").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .select(
+            "segment",
+            "status",
+            "is_segment_total",
+            "is_status_total",
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+_register(
+    "cube_revenue",
+    q_cube_revenue,
+    """
+    SELECT c_mktsegment AS segment, o_orderstatus AS status,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS is_segment_total,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS is_status_total,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Partition-key skew profile — the diagnostic a 100 TB job runs BEFORE
+# choosing salt factors / AQE thresholds (the salted_source_join and
+# extraction repartition knobs are set from exactly this shape): per-key
+# row counts bucketed by binary magnitude (bucket = #binary digits of
+# the count — integer-exact on both engines via base-2 digit strings,
+# no float log2).
+#
+# Scale shape: ONE map-side-combined groupBy(key) count + a tiny
+# second agg over distinct-key rows; output <= 64 rows.  The skew
+# verdict (max/mean permille) is int64 exact.
+# ---------------------------------------------------------------------------
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """(cnt_bits, n_keys, min_cnt, max_cnt, rows, share_permille):
+    histogram of per-user event counts by binary magnitude."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    per_key = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    total = per_key.agg(F.sum("cnt").alias("total_rows"))
+    return (
+        per_key.select(
+            F.length(F.conv(F.col("cnt"), 10, 2)).cast("long").alias(
+                "cnt_bits"
+            ),
+            "cnt",
+        )
+        .groupBy("cnt_bits")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.min("cnt").alias("min_cnt"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum("cnt").alias("rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cnt_bits",
+            "n_keys",
+            "min_cnt",
+            "max_cnt",
+            "rows",
+            F.expr("(rows * 1000) div total_rows").alias("share_permille"),
+        )
+    )
+
+
+_register(
+    "key_skew_profile",
+    q_key_skew_profile,
+    """
+    WITH per_key AS (
+        SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    ), total AS (SELECT sum(cnt) AS total_rows FROM per_key)
+    SELECT CAST(length(bin(cnt)) AS BIGINT) AS cnt_bits,
+           count(*) AS n_keys,
+           min(cnt) AS min_cnt, max(cnt) AS max_cnt,
+           CAST(sum(cnt) AS BIGINT) AS rows,
+           CAST((sum(cnt) * 1000) // t.total_rows AS BIGINT)
+               AS share_permille
+    FROM per_key, total t
+    GROUP BY cnt_bits, t.total_rows
+    """,
+)
