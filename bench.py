@@ -121,6 +121,19 @@ HEADLINE = [
     "source_quota_sample",
     "lang_temperature_sample",
     "winnow_fingerprints",
+    "role_transitions",
+    "sequence_dedup",
+    "edit_distance_pairs",
+    "cms_heavy_hitters",
+    "salted_source_join",
+    "inverted_postings",
+    "pmi_collocations",
+    "vocab_growth",
+    "chat_template_render",
+    "context_windows",
+    "merge_upsert",
+    "cube_revenue",
+    "key_skew_profile",
 ]
 
 

@@ -5829,17 +5829,16 @@ def q_pmi_collocations(spark, sf_dir):
         .where(F.col("c_xy") >= _PMI_MIN_COUNT)
     )
     total = unigrams.agg(F.sum("c").alias("n")).select("n")
+    # unigram sides are vocab-sized (can be 10M+ rows at corpus scale):
+    # no broadcast hint — AQE picks broadcast at small SF, shuffle join
+    # at scale.  Only the 1-row total is pinned broadcast.
     scored = (
         bigrams.join(
-            F.broadcast(unigrams.withColumnRenamed("w", "w1")).withColumnRenamed(
-                "c", "c1"
-            ),
+            unigrams.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
             "w1",
         )
         .join(
-            F.broadcast(unigrams.withColumnRenamed("w", "w2")).withColumnRenamed(
-                "c", "c2"
-            ),
+            unigrams.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
             "w2",
         )
         .crossJoin(F.broadcast(total))
@@ -6284,7 +6283,9 @@ def q_key_skew_profile(spark, sf_dir):
     per_key = events.groupBy("user_id").agg(
         F.count("*").cast("long").alias("cnt")
     )
-    total = per_key.agg(F.sum("cnt").alias("total_rows"))
+    # sum(per-key counts) == plain event count: never recompute the
+    # per-key agg just to total it
+    total = events.agg(F.count("*").alias("total_rows"))
     return (
         per_key.select(
             F.length(F.conv(F.col("cnt"), 10, 2)).cast("long").alias(

@@ -391,3 +391,85 @@ def test_salted_join_spreads_hot_keys(spark):
     assert "source" in join_line and "_salt" in join_line
     # results identical to the unsalted join: checked by the DuckDB
     # oracle (scripts/check_oracles.py salted_source_join)
+
+
+def test_inverted_postings_one_exchange_pruned_scan(spark):
+    """Postings build = posexplode -> ONE map-side-combined agg: a
+    single (term, doc_id) Exchange, scan pruned to (doc_id, text)."""
+    import re
+
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(
+        QUERIES["inverted_postings"](spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("Exchange") == 1
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    cols = {
+        c.split("#")[0]
+        for c in re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1).split(",")
+    }
+    assert cols == {"doc_id", "text"}
+
+
+def test_conversation_render_single_conv_shuffle(spark):
+    """chat_template_render and context_windows share the extraction
+    job's grouping discipline: exactly ONE Exchange (the conv key) —
+    the window expansion is an array explode, never a second shuffle."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    for name in ("chat_template_render", "context_windows"):
+        plan = _executed_plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert plan.count("Exchange") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_cube_is_one_expand_pass_with_broadcast_dim(spark):
+    """CUBE executes as Expand -> ONE agg shuffle; the customer dim
+    broadcasts — 4 grouping sets never mean 4 scans or a shuffle join."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["cube_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan") == 2  # orders once, customer once
+
+
+def test_merge_upsert_is_one_key_equijoin(spark):
+    """MERGE-style upsert: full-outer SortMergeJoin on the key, no
+    nested-loop fallback, no driver-side plan."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["merge_upsert"](spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_key_skew_profile_shuffles_only_distinct_keys(spark):
+    """Skew profile: the per-key count Exchange plus the tiny bucket
+    agg — the 1-row total rides a broadcast, nothing corpus-sized
+    reaches the driver."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    plan = _executed_plan(QUERIES["key_skew_profile"](spark, "/root/testdata/sf0.001"))
+    # per-key agg + bucket agg + single-partition total + its broadcast;
+    # never a sort, and the per-key agg is computed exactly once
+    assert plan.count("Exchange") <= 4
+    assert "Sort " not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_pmi_topk_never_global_sorts(spark):
+    """PMI top-50 is a TakeOrdered, not Sort+single-partition Exchange;
+    unigram joins carry no broadcast HINT (AQE decides — vocab-sized
+    sides must be allowed to shuffle at corpus scale)."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["pmi_collocations"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    opt = _optimized_plan(df)
+    # the only hint-pinned broadcast is the 1-row corpus total
+    assert opt.count("ResolvedHint") <= 1
