@@ -6329,3 +6329,379 @@ _register(
     GROUP BY cnt_bits, t.total_rows
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Partitioned write + partition-pruned read — the data-layout half of
+# the sink story (csv/orc/jsonl prove formats; this proves LAYOUT):
+# documents written `partitionBy(lang)`, read back with a lang
+# predicate that must be satisfied by DIRECTORY pruning (the scan's
+# PartitionFilters — pinned in tests/test_plans.py), never by reading
+# and filtering row groups.  The oracle reads the ORIGINAL parquet, so
+# any value mangling through the partition encoding (lang leaves the
+# data files and comes back from directory names) fails the hash.
+#
+# Scale note: partition columns must be low-cardinality (5 langs here;
+# 10^3-ish max in practice) — high-cardinality keys go to bucketing
+# instead (see bucketed_colocated_join).
+# ---------------------------------------------------------------------------
+
+_PRUNE_LANGS = ("de", "fr")
+
+
+def q_partitioned_write_prune(spark, sf_dir):
+    """(doc_id, lang, source, n_chars, text_md5) for the pruned langs,
+    read back through a lang-partitioned copy."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="part_prune_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(f"{work}/docs")
+    out = spark.read.parquet(f"{work}/docs").where(
+        F.col("lang").isin(*_PRUNE_LANGS)
+    )
+    return _roundtrip_projection(out)
+
+
+_register(
+    "partitioned_write_prune",
+    q_partitioned_write_prune,
+    f"""
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents WHERE lang IN {_PRUNE_LANGS!r}
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup graph — the third graph operator
+# (after connected components and PageRank): per-vertex triangle
+# participation, the clustering-coefficient numerator used to separate
+# clone CLIQUES from chain-shaped false-positive paths in a dedup
+# graph.
+#
+# Scale shape: edges oriented id_a < id_b; wedges = ONE self-equi-join
+# on the middle vertex; closure = ONE semi-join back to the edge set —
+# never an all-pairs pass.  Clone components are cliques, so an s-node
+# clique holds O(s^3) triangles: vertices with degree > _TRI_DEG_CAP
+# are EXCLUDED from the wedge join and reported with excluded=true
+# (loud, counted — the hub-split standard in distributed triangle
+# counting), which hard-bounds wedge fan-out at cap^2 per vertex.
+# ---------------------------------------------------------------------------
+
+_TRI_DEG_CAP = 64
+
+
+def q_triangle_count(spark, sf_dir):
+    """(doc_id, n_triangles, excluded): triangle participation per
+    vertex of the hamming<=3 simhash graph; degree-capped hubs are
+    reported excluded rather than silently dropped."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = simhash_candidates(simhash_column(docs))
+    edges = (
+        cand.where(F.col("hamming") <= 3)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("id_a").alias("v"))
+        .unionAll(edges.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
+    )
+    hubs = deg.where(F.col("deg") > _TRI_DEG_CAP).select("v")
+    fe = (
+        edges.join(hubs.withColumnRenamed("v", "id_a"), "id_a", "left_anti")
+        .join(hubs.withColumnRenamed("v", "id_b"), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    )
+    wedges = fe.alias("e1").join(
+        fe.alias("e2"), F.col("e1.id_b") == F.col("e2.id_a")
+    ).select(
+        F.col("e1.id_a").alias("a"),
+        F.col("e1.id_b").alias("b"),
+        F.col("e2.id_b").alias("c"),
+    )
+    tris = wedges.join(
+        fe.withColumnRenamed("id_a", "a").withColumnRenamed("id_b", "c"),
+        ["a", "c"],
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+        .withColumn("excluded", F.lit(False))
+    )
+    excluded = hubs.select(
+        F.col("v").alias("doc_id"),
+        F.lit(0).cast("long").alias("n_triangles"),
+        F.lit(True).alias("excluded"),
+    )
+    return adopt(
+        per_vertex.unionByName(excluded), edges, deg, *cached_inputs(cand)
+    )
+
+
+_register(
+    "triangle_count",
+    q_triangle_count,
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_SIMHASH_PAIRS_SQL}) WHERE hamming <= 3
+    ), deg AS (
+        SELECT v, count(*) AS deg FROM (
+            SELECT id_a AS v FROM pairs UNION ALL SELECT id_b FROM pairs
+        ) GROUP BY v
+    ), hubs AS (SELECT v FROM deg WHERE deg > {_TRI_DEG_CAP}),
+    fe AS MATERIALIZED (
+        SELECT id_a, id_b FROM pairs
+        WHERE id_a NOT IN (SELECT v FROM hubs)
+          AND id_b NOT IN (SELECT v FROM hubs)
+    ), tris AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM fe e1 JOIN fe e2 ON e1.id_b = e2.id_a
+        JOIN fe e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT doc_id, count(*) AS n_triangles, FALSE AS excluded
+    FROM (
+        SELECT a AS doc_id FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ) GROUP BY doc_id
+    UNION ALL
+    SELECT v AS doc_id, 0 AS n_triangles, TRUE AS excluded FROM hubs
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring — the fluency upgrade of unigram_logprob: per-doc
+# mean-free SUM of MLE bigram log-probs ln(c_xy / c_x) against corpus
+# statistics, quantized per DISTINCT bigram to integer micro-nats
+# before the weighted sum (the tfidf_keywords ln idiom: both engines
+# quantize the same double, so per-doc totals are exact int64 sums —
+# float error can never accumulate across a document).
+#
+# Scale shape: per-doc bigram counts (inverted-postings shape) ->
+# corpus bigram/unigram aggs (vocab-sized shuffles) -> one equi-join
+# back on the bigram key -> per-doc int sum.  No window, no driver
+# collect, no broadcast hint on vocab-sized sides.
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """(doc_id, n_bigrams, score_micro): additive bigram-LM fluency
+    score in integer micro-nats (higher = more typical of the corpus)."""
+    from pyspark.sql import functions as F
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split("text", "[\t\n\f\r ]+"), lambda w: w != F.lit("")
+        ).alias("ws"),
+    )
+    doc_bigrams = (
+        words.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    c_xy = doc_bigrams.groupBy("w1", "w2").agg(F.sum("k").alias("c_xy"))
+    c_x = (
+        words.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c_x"))
+    )
+    quant = c_xy.join(c_x, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("c_xy").cast("double") / F.col("c_x")) * 1e6
+        ).cast("long").alias("q_micro"),
+    )
+    return (
+        doc_bigrams.join(quant, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * F.col("q_micro")).cast("long").alias(
+                "score_micro"
+            ),
+        )
+    )
+
+
+_register(
+    "bigram_logprob",
+    q_bigram_logprob,
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ), doc_bigrams AS (
+        SELECT doc_id, w1, w2, count(*) AS k FROM (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM words, LATERAL unnest(range(1, len(ws))) t(i)
+        ) GROUP BY doc_id, w1, w2
+    ), cxy AS (
+        SELECT w1, w2, sum(k) AS c_xy FROM doc_bigrams GROUP BY w1, w2
+    ), cx AS (
+        SELECT w1, count(*) AS c_x
+        FROM (SELECT doc_id, unnest(ws) AS w1 FROM words) GROUP BY w1
+    ), quant AS (
+        SELECT c.w1, c.w2,
+               CAST(round(ln(CAST(c.c_xy AS DOUBLE) / x.c_x) * 1e6)
+                    AS BIGINT) AS q_micro
+        FROM cxy c JOIN cx x USING (w1)
+    )
+    SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.k * q.q_micro) AS BIGINT) AS score_micro
+    FROM doc_bigrams d JOIN quant q USING (w1, w2)
+    GROUP BY d.doc_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Canonical-document selection — the retention POLICY on top of
+# dedup_groups: real pipelines don't keep the arbitrary minimum id per
+# near-dup cluster, they keep the BEST member (here: longest text,
+# ties to the smaller doc_id — deterministic total order).  Output is
+# the full per-doc verdict so the downstream anti-join is one filter.
+#
+# Scale shape: the component labels cost what dedup_groups costs
+# (iterative hash-min, lineage-truncated); the policy itself is ONE
+# window over group_id — group-bounded, never corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def q_canonical_docs(spark, sf_dir):
+    """(doc_id, group_id, group_size, keep): keep-best-per-cluster
+    retention — keeper = longest n_chars, tie-break smallest doc_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import simhash_candidates, simhash_column
+    from .operators.graph import dedup_groups
+    from .plans.cache import adopt, cached_inputs
+
+    docs = _read(spark, sf_dir, "documents")
+    cand = simhash_candidates(simhash_column(docs))
+    edges = cand.where(F.col("hamming") <= 3)
+    groups = dedup_groups(docs, edges, id_col="doc_id")
+    win = Window.partitionBy("group_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    result = (
+        groups.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .select(
+            "doc_id",
+            "group_id",
+            "group_size",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+    return adopt(result, *cached_inputs(cand))
+
+
+_register(
+    "canonical_docs",
+    q_canonical_docs,
+    f"""
+    SELECT g.doc_id, g.group_id, g.group_size,
+           row_number() OVER (PARTITION BY g.group_id
+                              ORDER BY d.n_chars DESC, g.doc_id) = 1 AS keep
+    FROM ({_dedup_groups_oracle_sql()}) g
+    JOIN documents d ON d.doc_id = g.doc_id
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join — the shuffle-avoidance layout for
+# HIGH-cardinality keys (partitionBy handles low-cardinality; this is
+# the other half): orders and customer both written `bucketBy(8, key)`
+# + in-bucket sorted, then joined WITHOUT a shuffle — the scan itself
+# satisfies the join's distribution requirement, so the only Exchange
+# in the whole plan is the final tiny rollup (pinned in
+# tests/test_plans.py).  At 10^12-turn scale this is the simhash
+# signature-table / checkpoint-table layout: pay the bucketed write
+# once, join shuffle-free forever after.
+#
+# The merge-join hint pins the path the bucketing is FOR (a broadcast
+# would also skip the shuffle at bench scale, proving nothing).
+# ---------------------------------------------------------------------------
+
+
+def q_bucketed_colocated_join(spark, sf_dir):
+    """(segment, n_orders, revenue_cents) via a zero-shuffle join of
+    two bucketed tables."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix="bucketed_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    (
+        _read(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("path", f"{work}/orders_b")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .format("parquet")
+        .saveAsTable("bench_orders_bucketed")
+    )
+    (
+        _read(spark, sf_dir, "customer")
+        .write.mode("overwrite")
+        .option("path", f"{work}/customer_b")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .format("parquet")
+        .saveAsTable("bench_customer_bucketed")
+    )
+    orders = spark.table("bench_orders_bucketed")
+    customer = spark.table("bench_customer_bucketed")
+    joined = orders.hint("merge").join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+_register(
+    "bucketed_colocated_join",
+    q_bucketed_colocated_join,
+    """
+    SELECT c_mktsegment AS segment, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)

@@ -473,3 +473,57 @@ def test_pmi_topk_never_global_sorts(spark):
     opt = _optimized_plan(df)
     # the only hint-pinned broadcast is the 1-row corpus total
     assert opt.count("ResolvedHint") <= 1
+
+
+def test_partition_pruned_read(spark):
+    """The lang predicate on the partitioned copy is satisfied by
+    DIRECTORY pruning: it appears in the scan's PartitionFilters and
+    the data files contribute no lang column at all."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["partitioned_write_prune"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    scan = next(
+        line for line in plan.splitlines() if "FileScan parquet" in line
+    )
+    import re
+
+    pf = scan.split("PartitionFilters: [")[1].split("]")[0]
+    assert re.search(r"lang#\d+ IN \(de,fr\)", pf), pf
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Both sides bucketed by the join key: the SortMergeJoin consumes
+    the scans directly — the ONLY Exchange in the plan is the final
+    rollup, and there is no Exchange on either join key."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["bucketed_colocated_join"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(o_custkey" not in plan
+    assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_triangle_count_never_cartesian(spark):
+    """Wedge join + closure join are equi-joins; hub exclusion rides
+    anti-joins — no nested-loop anywhere despite the self-joins."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["triangle_count"](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    release(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_logprob_no_hints_no_window(spark):
+    """Vocab-sized sides are never hint-broadcast and the per-doc sum
+    is an aggregation, not a window."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
+
+    df = QUERIES["bigram_logprob"](spark, "/root/testdata/sf0.001")
+    assert "ResolvedHint" not in _optimized_plan(df)
+    assert "Window" not in _executed_plan(df)

@@ -131,3 +131,118 @@ def test_vocab_growth_is_monotone_and_complete(spark):
     assert int(pdf["tokens_cum"].iloc[-1]) == toks.count()
     assert int(pdf["vocab_cum"].iloc[-1]) == toks.distinct().count()
     assert pdf["new_terms"].sum() == pdf["vocab_cum"].iloc[-1]
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Recompute triangles driver-side from the same hamming<=3 edge
+    set (sf0.001 graph is tiny): per-vertex participation must agree,
+    and every excluded vertex must really exceed the degree cap."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        simhash_candidates,
+        simhash_column,
+    )
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+    from ds4sd_docling_tableformer_onnx_spark.queries import (
+        _TRI_DEG_CAP,
+        QUERIES,
+    )
+
+    frame = QUERIES["triangle_count"](spark, SF)
+    got = {
+        int(r.doc_id): (int(r.n_triangles), bool(r.excluded))
+        for r in frame.collect()
+    }
+    release(frame)
+
+    cand = simhash_candidates(
+        simhash_column(spark.read.parquet(f"{SF}/documents.parquet"))
+    )
+    edges = {
+        (int(r.id_a), int(r.id_b))
+        for r in cand.where(F.col("hamming") <= 3).collect()
+    }
+    release(cand)
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    hubs = {v for v, d in deg.items() if d > _TRI_DEG_CAP}
+    fe = {(a, b) for a, b in edges if a not in hubs and b not in hubs}
+    tri_count: dict = {}
+    fes = sorted(fe)
+    fe_set = set(fes)
+    adj: dict = {}
+    for a, b in fes:
+        adj.setdefault(a, set()).add(b)
+    for a, b in fes:
+        for c in adj.get(b, ()):
+            if (a, c) in fe_set:
+                for v in (a, b, c):
+                    tri_count[v] = tri_count.get(v, 0) + 1
+    expected = {v: (n, False) for v, n in tri_count.items()}
+    expected.update({v: (0, True) for v in hubs})
+    assert got == expected
+
+
+def test_canonical_docs_keep_best_per_group(spark):
+    """Exactly one keeper per group; the keeper maximizes n_chars with
+    ties to the smallest doc_id; singletons keep themselves."""
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
+    frame = QUERIES["canonical_docs"](spark, SF)
+    pdf = frame.toPandas()
+    release(frame)
+    chars = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .toPandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    assert len(pdf) == len(chars)  # every doc gets a verdict
+    for gid, grp in pdf.groupby("group_id"):
+        keepers = grp[grp["keep"]]
+        assert len(keepers) == 1
+        best = sorted(
+            grp.itertuples(),
+            key=lambda r: (-int(chars[r.doc_id]), int(r.doc_id)),
+        )[0]
+        assert int(keepers.iloc[0]["doc_id"]) == int(best.doc_id)
+        assert (grp["group_size"] == len(grp)).all()
+
+
+def test_bigram_logprob_exact_integer_recompute(spark):
+    """Driver-side recompute with math.log + the same micro-nat
+    quantization must agree exactly for every document."""
+    import math
+    import re
+
+    pdf = (
+        QUERIES["bigram_logprob"](spark, SF)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    uni: dict = {}
+    big: dict = {}
+    per_doc: dict = {}
+    for r in docs.itertuples():
+        ws = [w for w in re.split(r"[\t\n\f\r ]+", r.text) if w]
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        bgs: dict = {}
+        for a, b in zip(ws, ws[1:]):
+            bgs[(a, b)] = bgs.get((a, b), 0) + 1
+        per_doc[int(r.doc_id)] = bgs
+        for pair, k in bgs.items():
+            big[pair] = big.get(pair, 0) + k
+    for doc_id, bgs in per_doc.items():
+        if not bgs:
+            assert doc_id not in pdf.index
+            continue
+        n = sum(bgs.values())
+        score = sum(
+            k * int(round(math.log(big[(a, b)] / uni[a]) * 1e6))
+            for (a, b), k in bgs.items()
+        )
+        assert int(pdf.loc[doc_id, "n_bigrams"]) == n
+        assert int(pdf.loc[doc_id, "score_micro"]) == score
