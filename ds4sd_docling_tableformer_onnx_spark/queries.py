@@ -6705,3 +6705,142 @@ _register(
     GROUP BY c_mktsegment
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — ordered-subsequence progress per user through a
+# fixed step sequence (view -> click -> purchase), the canonical
+# product-analytics reduction.  Spark computes it with ONE shuffle:
+# per-user sorted event array + a fold (F.aggregate) that advances a
+# progress pointer greedily — earliest-match semantics.  The oracle
+# reproduces the same semantics relationally (p1 = first 'view',
+# p2 = first 'click' AFTER p1, p3 = first 'purchase' after p2), an
+# independent construction that provably equals the greedy fold.
+#
+# Scale shape: groupBy(user) — the conversation-grouping shuffle again;
+# the fold is a codegen array expression, per-group state bounded by
+# conversation length.  No window over the corpus, no second shuffle.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark, sf_dir):
+    """(user_id, steps_reached): how far each user advances through
+    view -> click -> purchase, by greedy earliest matching."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    steps_lit = F.array(*[F.lit(s) for s in _FUNNEL_STEPS])
+    n = len(_FUNNEL_STEPS)
+    arrs = events.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    return arrs.select(
+        "user_id",
+        F.aggregate(
+            "types",
+            F.lit(0),
+            lambda acc, x: F.when(
+                (acc < n) & (x == F.element_at(steps_lit, acc + 1)), acc + 1
+            ).otherwise(acc),
+        ).cast("long").alias("steps_reached"),
+    )
+
+
+_register(
+    "funnel_steps",
+    q_funnel_steps,
+    f"""
+    WITH pos AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS p
+        FROM events
+    ), s1 AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = '{_FUNNEL_STEPS[0]}' THEN p END) AS p1
+        FROM pos GROUP BY user_id
+    ), s2 AS (
+        SELECT pos.user_id, min(p) AS p2
+        FROM pos JOIN s1 USING (user_id)
+        WHERE event_type = '{_FUNNEL_STEPS[1]}' AND p > p1
+        GROUP BY pos.user_id
+    ), s3 AS (
+        SELECT pos.user_id, min(p) AS p3
+        FROM pos JOIN s2 USING (user_id)
+        WHERE event_type = '{_FUNNEL_STEPS[2]}' AND p > p2
+        GROUP BY pos.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s3.p3 IS NOT NULL THEN 3
+                     WHEN s2.p2 IS NOT NULL THEN 2
+                     WHEN s1.p1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS steps_reached
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users grouped by first-activity week, counted per
+# week offset: the classic retention triangle.  All time arithmetic is
+# INTEGER (epoch-days div 7), never engine week-of-year rules (ISO vs
+# US week numbering would silently skew cohorts between engines).
+#
+# Scale shape: (user, week) distinct -> per-user min (both map-side
+# combined on the same user key) -> tiny (cohort x offset) agg.
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark, sf_dir):
+    """(cohort_week, offset_weeks, n_users): retention triangle over
+    integer epoch-weeks."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    weeks = (
+        events.select(
+            "user_id",
+            F.expr(
+                "datediff(cast(ts as date), date'1970-01-01') div 7"
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_wk")).cast("long").alias(
+                "offset_weeks"
+            ),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+_register(
+    "cohort_retention",
+    q_cohort_retention,
+    """
+    WITH weeks AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                   AS wk
+        FROM events
+    ), cohort AS (
+        SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id
+    )
+    SELECT CAST(cohort_wk AS BIGINT) AS cohort_week,
+           CAST(wk - cohort_wk AS BIGINT) AS offset_weeks,
+           count(*) AS n_users
+    FROM weeks JOIN cohort USING (user_id)
+    GROUP BY cohort_wk, wk - cohort_wk
+    """,
+)

@@ -246,3 +246,25 @@ def test_bigram_logprob_exact_integer_recompute(spark):
         )
         assert int(pdf.loc[doc_id, "n_bigrams"]) == n
         assert int(pdf.loc[doc_id, "score_micro"]) == score
+
+
+def test_funnel_and_cohort_invariants(spark):
+    """Funnel: steps_reached in [0,3] with one row per user.  Cohort:
+    offset 0 exists for every cohort and counts the whole cohort."""
+    fun = QUERIES["funnel_steps"](spark, SF).toPandas()
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert len(fun) == n_users and fun["user_id"].is_unique
+    assert fun["steps_reached"].between(0, 3).all()
+
+    coh = QUERIES["cohort_retention"](spark, SF).toPandas()
+    assert (coh["offset_weeks"] >= 0).all()
+    base = coh[coh["offset_weeks"] == 0].set_index("cohort_week")["n_users"]
+    # every cohort has an offset-0 row and no offset exceeds it
+    for wk, grp in coh.groupby("cohort_week"):
+        assert wk in base.index
+        assert (grp["n_users"] <= base[wk]).all()
