@@ -134,6 +134,16 @@ HEADLINE = [
     "merge_upsert",
     "cube_revenue",
     "key_skew_profile",
+    "partitioned_write_prune",
+    "bucketed_colocated_join",
+    "triangle_count",
+    "bigram_logprob",
+    "canonical_docs",
+    "funnel_steps",
+    "cohort_retention",
+    "zorder_layout",
+    "stratified_sample",
+    "quantile_sketch",
 ]
 
 

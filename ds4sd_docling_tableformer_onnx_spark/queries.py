@@ -6844,3 +6844,305 @@ _register(
     GROUP BY cohort_wk, wk - cohort_wk
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Z-order layout clustering — multi-dimensional data layout for range
+# queries (the Delta OPTIMIZE ZORDER primitive): each dimension is
+# quantized to 256 bins over its OBSERVED min/max (raw ids/days leave
+# most of a fixed bit-domain empty — quantize first, like any real
+# z-order write does), the bin indexes are bit-interleaved into a
+# 16-bit z-value, and rows are assigned to layout buckets by z-prefix.
+# The output proves LOCALITY: each bucket's (user, day) bin bounding
+# box is a 16x16 tile of the 256x256 domain — a min/max-indexed scan
+# skips every non-overlapping bucket for a 2-D range predicate, which
+# no single-key sort can give both dimensions at once.
+#
+# Integer-exact on both engines: quantization is int64 `div` on spans,
+# the interleave is 8 shift-mask-or terms per dimension generated from
+# ONE Python loop into BOTH the Spark expression and the oracle SQL.
+#
+# Scale shape: the min/max pre-pass is one tiny agg (broadcast 1-row);
+# z-value is a codegen scalar; bucket stats are ONE map-side-combined
+# agg.  The real write would be repartitionByRange(zval) +
+# sortWithinPartitions — this query is the layout-planning pass that
+# validates the clustering before paying it.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 256 bins per dimension
+_Z_BUCKET_SHIFT = 8  # 16-bit z-space >> 8 -> 256 buckets (16x16 tiles)
+
+
+def _interleave_expr(xcol: str, ycol: str) -> str:
+    """SQL for bit-interleaving two 8-bit ints (x even bits, y odd) —
+    identical text works as a Spark expression and as DuckDB SQL."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_layout(spark, sf_dir):
+    """(bucket, n_rows, u_min, u_max, d_min, d_max): bin-space bounding
+    box per z-order layout bucket over (user_id, epoch_day)."""
+    from pyspark.sql import functions as F
+
+    events = _read(spark, sf_dir, "events")
+    dims = events.select(
+        F.col("user_id").cast("long").alias("u"),
+        F.expr("cast(datediff(cast(ts as date), date'1970-01-01') as long)")
+        .alias("d"),
+    )
+    stats = dims.agg(
+        F.min("u").alias("u_min_g"),
+        F.max("u").alias("u_max_g"),
+        F.min("d").alias("d_min_g"),
+        F.max("d").alias("d_max_g"),
+    )
+    binned = dims.crossJoin(F.broadcast(stats)).select(
+        F.expr("((u - u_min_g) * 256) div (u_max_g - u_min_g + 1)").alias(
+            "ub"
+        ),
+        F.expr("((d - d_min_g) * 256) div (d_max_g - d_min_g + 1)").alias(
+            "db"
+        ),
+    )
+    z = binned.select(
+        "ub", "db", F.expr(_interleave_expr("ub", "db")).alias("zval")
+    )
+    return (
+        z.select(
+            F.shiftrightunsigned("zval", _Z_BUCKET_SHIFT).cast("long").alias(
+                "bucket"
+            ),
+            "ub",
+            "db",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("ub").alias("u_min"),
+            F.max("ub").alias("u_max"),
+            F.min("db").alias("d_min"),
+            F.max("db").alias("d_max"),
+        )
+    )
+
+
+_register(
+    "zorder_layout",
+    q_zorder_layout,
+    f"""
+    WITH dims AS (
+        SELECT CAST(user_id AS BIGINT) AS u,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS d
+        FROM events
+    ), stats AS (
+        SELECT min(u) AS u_min_g, max(u) AS u_max_g,
+               min(d) AS d_min_g, max(d) AS d_max_g
+        FROM dims
+    ), binned AS (
+        SELECT ((u - u_min_g) * 256) // (u_max_g - u_min_g + 1) AS ub,
+               ((d - d_min_g) * 256) // (d_max_g - d_min_g + 1) AS db
+        FROM dims, stats
+    ), z AS (
+        SELECT ub, db, ({_interleave_expr("ub", "db")}) AS zval FROM binned
+    )
+    SELECT CAST(zval >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           min(ub) AS u_min, max(ub) AS u_max,
+           min(db) AS d_min, max(db) AS d_max
+    FROM z GROUP BY bucket
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Stratified allocation (largest-remainder / Hamilton apportionment) —
+# the eval-set construction step: a FIXED sample budget apportioned
+# across language strata exactly proportionally (floor quota + one
+# extra to the largest remainders, ties to the lexicographically
+# smaller lang), then drawn deterministically per stratum via the
+# skew-safe two-phase quota ranker (functions/sampling).  Everything
+# integer: quotas sum to the budget BY CONSTRUCTION.
+#
+# Scale shape: strata stats are a bounded #langs-row collect (the
+# lang_temperature_sample discipline); the draw is the salted two-phase
+# top-N — no global window, no corpus-sized driver traffic.
+# ---------------------------------------------------------------------------
+
+_STRAT_BUDGET = 120
+
+
+def _largest_remainder(counts: dict, budget: int) -> dict:
+    """Hamilton apportionment: exact integer quotas summing to budget."""
+    total = sum(counts.values())
+    floors = {k: (budget * n) // total for k, n in counts.items()}
+    rems = {k: (budget * n) % total for k, n in counts.items()}
+    leftover = budget - sum(floors.values())
+    for k in sorted(rems, key=lambda k: (-rems[k], k))[:leftover]:
+        floors[k] += 1
+    return floors
+
+
+def q_stratified_sample(spark, sf_dir):
+    """(doc_id, lang, quota_rank): exactly _STRAT_BUDGET docs drawn
+    proportionally across langs by largest-remainder apportionment."""
+    from pyspark.sql import functions as F
+
+    from .functions.sampling import quota_rank_per_group
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    quotas = _largest_remainder(counts, _STRAT_BUDGET)
+    qmap = F.create_map(
+        *[F.lit(x) for kv in sorted(quotas.items()) for x in kv]
+    )
+    ranked = quota_rank_per_group(
+        docs.select("doc_id", "lang"),
+        "lang",
+        n=max(quotas.values()),
+        salts=8,
+    )
+    return ranked.where(
+        F.col("quota_rank") <= qmap[F.col("lang")]
+    ).select("doc_id", "lang", "quota_rank")
+
+
+_register(
+    "stratified_sample",
+    q_stratified_sample,
+    f"""
+    WITH c AS (
+        SELECT lang, count(*) AS cnt FROM documents
+        WHERE lang IS NOT NULL GROUP BY lang
+    ), tot AS (SELECT sum(cnt) AS total FROM c),
+    fl AS (
+        SELECT lang, ({_STRAT_BUDGET} * cnt) // t.total AS fq,
+               ({_STRAT_BUDGET} * cnt) % t.total AS rem
+        FROM c, tot t
+    ), leftover AS (
+        SELECT {_STRAT_BUDGET} - sum(fq) AS k FROM fl
+    ), quotas AS (
+        SELECT lang,
+               fq + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                         <= (SELECT k FROM leftover)
+                    THEN 1 ELSE 0 END AS quota
+        FROM fl
+    ), ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::UBIGINT, doc_id
+               ) AS quota_rank
+        FROM documents WHERE lang IS NOT NULL
+    )
+    SELECT r.doc_id, r.lang, CAST(r.quota_rank AS BIGINT) AS quota_rank
+    FROM ranked r JOIN quotas q USING (lang)
+    WHERE r.quota_rank <= q.quota
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch accuracy verdict — the percentile companion of
+# approx_distinct_verdict (HLL) and cms_heavy_hitters (Count-Min):
+# exact per-row percentile windows don't scale to 10^12 rows, so the
+# scale path is approx_percentile (mergeable GK-style sketch).  The
+# sketch estimate stays OUT of the value hash; what gets value-checked
+# is the EXACT percentile (integer cents) plus the in-query assertion
+# that the sketch landed inside its RANK-ERROR contract.
+#
+# Exactness discipline: "exact percentile" is pinned to ONE definition
+# on both engines — the smallest value whose cumulative count reaches
+# ceil(p*n) — computed from per-DISTINCT-value counts + a running sum
+# over the value domain (the shuffle carries one row per distinct
+# price, ~domain-bounded, not corpus-bounded), never an engine
+# percentile builtin (disc/cont boundary rules differ between engines).
+# ---------------------------------------------------------------------------
+
+_QSK_ACC = 10_000  # approx_percentile accuracy: rank err <= n/acc
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """(p_label, exact_cents, within_contract): exact o_totalprice
+    percentiles + sketch rank-error verdict."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    counts = orders.groupBy("cents").agg(F.count("*").alias("k"))
+    win = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "cents", F.sum("k").over(win).alias("cum")
+    ).persist()
+    n = orders.count()  # one scalar job; bounded driver traffic
+    approx = orders.agg(
+        F.percentile_approx(
+            "cents", [0.5, 0.95, 0.99], _QSK_ACC
+        ).alias("est")
+    ).first()["est"]
+    parts = []
+    import math
+
+    for i, (label, p) in enumerate((("p50", 0.5), ("p95", 0.95), ("p99", 0.99))):
+        target = max(1, math.ceil(p * n))
+        tol = n // _QSK_ACC + 1
+        lo_rank, hi_rank = max(1, target - tol), min(n, target + tol)
+        exact = cum.where(F.col("cum") >= target).agg(
+            F.min("cents").alias("exact_cents")
+        )
+        lo = cum.where(F.col("cum") >= lo_rank).agg(
+            F.min("cents").alias("lo")
+        )
+        hi = cum.where(F.col("cum") >= hi_rank).agg(
+            F.min("cents").alias("hi")
+        )
+        parts.append(
+            exact.crossJoin(F.broadcast(lo))
+            .crossJoin(F.broadcast(hi))
+            .select(
+                F.lit(label).alias("p_label"),
+                "exact_cents",
+                (
+                    (F.lit(int(approx[i])) >= F.col("lo"))
+                    & (F.lit(int(approx[i])) <= F.col("hi"))
+                ).alias("within_contract"),
+            )
+        )
+    from .plans.cache import adopt
+
+    return adopt(reduce(lambda a, b: a.unionByName(b), parts), cum)
+
+
+_register(
+    "quantile_sketch",
+    q_quantile_sketch,
+    """
+    WITH cum AS (
+        SELECT cents, sum(k) OVER (ORDER BY cents) AS cum FROM (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   count(*) AS k
+            FROM orders GROUP BY 1
+        )
+    ), n AS (SELECT count(*) AS n FROM orders)
+    SELECT 'p50' AS p_label,
+           (SELECT min(cents) FROM cum, n
+            WHERE cum >= CEIL(0.5 * n.n)) AS exact_cents,
+           TRUE AS within_contract
+    UNION ALL
+    SELECT 'p95', (SELECT min(cents) FROM cum, n
+                   WHERE cum >= CEIL(0.95 * n.n)), TRUE
+    UNION ALL
+    SELECT 'p99', (SELECT min(cents) FROM cum, n
+                   WHERE cum >= CEIL(0.99 * n.n)), TRUE
+    """,
+)

@@ -268,3 +268,65 @@ def test_funnel_and_cohort_invariants(spark):
     for wk, grp in coh.groupby("cohort_week"):
         assert wk in base.index
         assert (grp["n_users"] <= base[wk]).all()
+
+
+def test_zorder_buckets_are_single_tiles(spark):
+    """Every z-order bucket's bounding box stays inside ONE 16x16 bin
+    tile (the z-prefix property that makes min/max skipping work), and
+    bin indexes cover [0, 255]."""
+    pdf = QUERIES["zorder_layout"](spark, SF).toPandas()
+    assert (pdf["u_min"] >= 0).all() and (pdf["u_max"] <= 255).all()
+    assert (pdf["d_min"] >= 0).all() and (pdf["d_max"] <= 255).all()
+    for r in pdf.itertuples():
+        assert int(r.u_min) // 16 == int(r.u_max) // 16
+        assert int(r.d_min) // 16 == int(r.d_max) // 16
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert pdf["n_rows"].sum() == ev.count()
+
+
+def test_stratified_sample_hits_budget_exactly(spark):
+    """The draw returns exactly the budget, apportioned by
+    largest-remainder (recomputed independently here)."""
+    from ds4sd_docling_tableformer_onnx_spark.queries import (
+        _STRAT_BUDGET,
+        _largest_remainder,
+    )
+
+    pdf = QUERIES["stratified_sample"](spark, SF).toPandas()
+    assert len(pdf) == _STRAT_BUDGET
+    counts = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where("lang is not null")
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+        .to_dict()
+    )
+    quotas = _largest_remainder(counts, _STRAT_BUDGET)
+    got = pdf.groupby("lang").size().to_dict()
+    assert got == {k: v for k, v in quotas.items() if v > 0}
+
+
+def test_quantile_sketch_exact_values_and_contract(spark):
+    """Exact percentiles recomputed driver-side from the sorted cents
+    array (same ceil(p*n) definition); contract verdicts all true."""
+    import math
+
+    from ds4sd_docling_tableformer_onnx_spark.plans.cache import release
+
+    frame = QUERIES["quantile_sketch"](spark, SF)
+    pdf = frame.toPandas().set_index("p_label")
+    release(frame)
+    cents = sorted(
+        int(round(v * 100))
+        for v in spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_totalprice")
+        .toPandas()["o_totalprice"]
+    )
+    n = len(cents)
+    for label, p in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+        assert int(pdf.loc[label, "exact_cents"]) == cents[
+            max(1, math.ceil(p * n)) - 1
+        ]
+    assert pdf["within_contract"].all()
