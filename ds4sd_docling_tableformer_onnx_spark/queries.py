@@ -3526,10 +3526,9 @@ def q_session_window(spark, sf_dir):
     )
 
 
-_register(
-    "session_window_counts",
-    q_session_window,
-    f"""
+#: shared by the batch session_window query AND the streamed==batch
+#: stream_sessionize oracle (one truth for the session semantics)
+_SESSION_ORACLE = f"""
     WITH o AS (
         SELECT user_id, ts,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -3549,8 +3548,9 @@ _register(
            CAST(count(*) AS BIGINT) AS n_events
     FROM s
     GROUP BY user_id, sid
-    """,
-)
+    """
+
+_register("session_window_counts", q_session_window, _SESSION_ORACLE)
 
 # ---------------------------------------------------------------------------
 # HLL sketch with an in-query verdict — approx_count_distinct is the
@@ -7146,3 +7146,78 @@ _register(
                    WHERE cum >= CEIL(0.99 * n.n)), TRUE
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization — streaming/sessionize.py run over the
+# events table split into two time-ordered micro-batches plus two
+# sentinel flush batches (the watermark only passes a session's
+# last+gap once LATER data arrives; the sentinels provide that "later
+# data" so availableNow termination flushes every open session —
+# exactly the late-data mechanics a production stream lives with).
+# The oracle is the SAME SQL as the batch session_window_counts: the
+# streamed union of gap-break emissions and timeout flushes must equal
+# the batch result row-for-row.
+# ---------------------------------------------------------------------------
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """(user_id, session_start, session_end, n_events) streamed with
+    event-time timeouts; equals the batch session_window result."""
+    import atexit
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .streaming.sessionize import stream_sessionize
+
+    events = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    bounds = events.agg(
+        F.max("ts").alias("max_ts"), F.max("event_id").alias("max_id")
+    ).first()
+    gap = dt.timedelta(minutes=10)
+
+    work = tempfile.mkdtemp(prefix="stream_sessionize_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    half = int(bounds["max_id"]) // 2
+    events.where(F.col("event_id") <= half).select("user_id", "ts").coalesce(
+        1
+    ).write.parquet(f"{in_dir}/b1")
+    events.where(F.col("event_id") > half).select("user_id", "ts").coalesce(
+        1
+    ).write.parquet(f"{in_dir}/b2")
+    for i, mult in ((3, 3), (4, 6)):
+        spark.createDataFrame(
+            [(-1, bounds["max_ts"] + mult * gap)], "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(f"{in_dir}/b{i}")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    # state-store instances = shuffle partitions; 4 micro-batches x 32
+    # stores is pure fixed cost at bench scale — 8 is plenty (the
+    # stream's checkpoint pins its own partitioning, so the session
+    # conf can be restored immediately after start)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            stream_sessionize(stream, gap="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    query.awaitTermination()
+    return spark.read.parquet(out_dir).where(F.col("user_id") >= 0)
+
+
+_register("stream_sessionize", q_stream_sessionize, _SESSION_ORACLE)

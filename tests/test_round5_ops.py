@@ -330,3 +330,109 @@ def test_quantile_sketch_exact_values_and_contract(spark):
             max(1, math.ceil(p * n)) - 1
         ]
     assert pdf["within_contract"].all()
+
+
+def test_stream_sessionize_equals_batch(spark):
+    """The streamed session set (gap-break emissions + event-time
+    timeout flushes across 2 data batches + 2 sentinel flush batches)
+    equals Spark's own batch session_window result row-for-row, and at
+    least one session SPANS the batch boundary (the cross-batch state
+    path is really exercised)."""
+    streamed = (
+        QUERIES["stream_sessionize"](spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        QUERIES["session_window_counts"](spark, SF)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert streamed.equals(batch)
+
+
+def test_stream_sessionize_planted_cross_batch(spark, tmp_path):
+    """Planted two-batch stream pinning every state path: a session
+    EXTENDED across the batch boundary, an in-batch gap break, and a
+    final session that can only flush via the sentinel's event-time
+    timeout.  Expected rows are Spark's own batch session_window over
+    the identical event set."""
+    import datetime as dt
+
+    from ds4sd_docling_tableformer_onnx_spark.streaming.sessionize import (
+        stream_sessionize,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    b1 = [  # user 1: two sessions inside batch 1 (gap break at 25 min)
+        (1, t0),
+        (1, t0 + 5 * m),
+        (1, t0 + 30 * m),
+        # user 2: open session reaching the boundary
+        (2, t0 + 28 * m),
+    ]
+    b2 = [  # user 2 continues < 10 min after its b1 event: SAME session
+        (2, t0 + 33 * m),
+        # user 1 resumes >= 10 min after its last b1 event: new session
+        (1, t0 + 45 * m),
+    ]
+    work = str(tmp_path)
+    spark.createDataFrame(b1, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(f"{work}/in/b1")
+    spark.createDataFrame(b2, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(f"{work}/in/b2")
+    for i, mins in ((3, 90), (4, 150)):
+        spark.createDataFrame(
+            [(-1, t0 + mins * m)], "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(f"{work}/in/b{i}")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/in/*")
+    )
+    query = (
+        stream_sessionize(stream, gap="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(f"{work}/out")
+        .where("user_id >= 0")
+        .collect()
+    }
+    expected_df = (
+        spark.createDataFrame(b1 + b2, "user_id long, ts timestamp")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    # the cross-batch extension really happened: user 2's single
+    # session counts events from BOTH batches
+    assert any(u == 2 and n == 2 for u, _s, _e, n in got)
