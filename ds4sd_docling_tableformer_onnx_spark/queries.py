@@ -5257,9 +5257,25 @@ _ROUNDTRIP_ORACLE = """
 #: ONE definition of the CSV dialect (write and read must agree or the
 #: bridge silently mangles quotes/newlines) — the hostile-content unit
 #: test reuses these same dicts, so the dialect cannot drift from what
-#: the test proves lossless.
-_CSV_WRITE_OPTS = {"header": True, "quoteAll": True, "escape": '"'}
-_CSV_READ_OPTS = {"header": True, "escape": '"', "multiLine": True}
+#: the test proves lossless.  nullValue pins the PostgreSQL-COPY `\N`
+#: convention so NULL and '' stay DISTINCT through the bridge (the
+#: default dialect writes both as "" and the explicit-schema read
+#: returns both as NULL — a silent null-injection on any corpus with
+#: empty strings).  The one residual coercion, inherent to sentinel
+#: CSV nulls: a literal `\N` text value reads back as NULL (planted
+#: and documented in the hostile-content test).
+_CSV_WRITE_OPTS = {
+    "header": True,
+    "quoteAll": True,
+    "escape": '"',
+    "nullValue": "\\N",
+}
+_CSV_READ_OPTS = {
+    "header": True,
+    "escape": '"',
+    "multiLine": True,
+    "nullValue": "\\N",
+}
 
 
 def q_csv_roundtrip(spark, sf_dir):
@@ -5385,6 +5401,24 @@ _register(
 # ---------------------------------------------------------------------------
 
 
+
+def _conv_ordered(render):
+    """Stable-turn-order conversation array: per-group (ts, event_id)
+    sorted event structs, each projected by ``render`` — THE ordering
+    contract every conversation operator shares (sequence_dedup,
+    chat_template_render, context_windows, funnel_steps; the same
+    discipline the extraction pipeline pins on conv_id/turn_idx).  One
+    definition so a future tie-break change cannot desync them."""
+    from pyspark.sql import functions as F
+
+    return F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "props"))
+        ),
+        render,
+    )
+
+
 def q_role_transitions(spark, sf_dir):
     """(from_type, to_type, n_transitions): adjacent event-type
     transition counts within each user's time-ordered event stream."""
@@ -5434,15 +5468,7 @@ def q_sequence_dedup(spark, sf_dir):
     # chars — same framing as the oracle's string_agg).
     seqs = events.groupBy("user_id").agg(
         F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
-                ),
-                "\x1f",
-            )
+            F.array_join(_conv_ordered(lambda s: s["event_type"]), "\x1f")
         ).alias("seq_md5")
     )
     win = Window.partitionBy("seq_md5")
@@ -5608,10 +5634,11 @@ def q_cms_heavy_hitters(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("exact_cnt"))
     )
 
+    from .functions.sampling import u32_md5
+
     def bucket(i):
         salted = F.concat(F.lit(f"{i}\x1f"), F.col("term"))
-        u32 = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
-        return (u32 % _CMS_W).alias("b")
+        return (u32_md5(salted) % _CMS_W).alias("b")
 
     cells = terms.select(
         "term",
@@ -6003,6 +6030,15 @@ _register(
 _CTX_BUDGET_CHARS = 480
 
 
+
+def _render_turn(s):
+    """ONE role-sentinel turn template shared by the render and the
+    window assembly: <|event_type|>props."""
+    from pyspark.sql import functions as F
+
+    return F.concat(F.lit("<|"), s["event_type"], F.lit("|>"), s["props"])
+
+
 def q_chat_template_render(spark, sf_dir):
     """(user_id, rendered, n_turns, full_len, truncated): role-templated
     conversation strings clipped to the context budget."""
@@ -6010,19 +6046,7 @@ def q_chat_template_render(spark, sf_dir):
 
     events = _read(spark, sf_dir, "events")
     convs = events.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct("ts", "event_id", "event_type", "props")
-                    )
-                ),
-                lambda s: F.concat(
-                    F.lit("<|"), s["event_type"], F.lit("|>"), s["props"]
-                ),
-            ),
-            "",
-        ).alias("full_s"),
+        F.array_join(_conv_ordered(_render_turn), "").alias("full_s"),
         F.count("*").cast("long").alias("n_turns"),
     )
     return convs.select(
@@ -6074,14 +6098,7 @@ def q_context_windows(spark, sf_dir):
 
     events = _read(spark, sf_dir, "events")
     convs = events.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "event_type", "props"))
-            ),
-            lambda s: F.concat(
-                F.lit("<|"), s["event_type"], F.lit("|>"), s["props"]
-            ),
-        ).alias("turns")
+        _conv_ordered(_render_turn).alias("turns")
     )
     starts = convs.select(
         "user_id",
@@ -6733,10 +6750,7 @@ def q_funnel_steps(spark, sf_dir):
     steps_lit = F.array(*[F.lit(s) for s in _FUNNEL_STEPS])
     n = len(_FUNNEL_STEPS)
     arrs = events.groupBy("user_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda s: s["event_type"],
-        ).alias("types")
+        _conv_ordered(lambda s: s["event_type"]).alias("types")
     )
     return arrs.select(
         "user_id",

@@ -77,25 +77,36 @@ def _make_first_keeper(ttl_ms):
                 {"text_md5": [key[0]], "keeper_id": [EXPIRED_SENTINEL]}
             )
             return
+        claimed = state.exists
         best = None
         max_ts = None
         for pdf in pdfs:
             if len(pdf):
-                m = int(pdf["doc_id"].min())
-                best = m if best is None or m < best else best
+                # the min() is only consumed on the FIRST claim and the
+                # ts max only in TTL mode: an already-claimed hot
+                # duplicate in NoTimeout mode must drain at iterator
+                # cost, not pay pandas reductions per batch
+                if not claimed:
+                    m = int(pdf["doc_id"].min())
+                    best = m if best is None or m < best else best
                 if ttl_ms is not None:
                     t = pdf["ts"].max()
                     max_ts = t if max_ts is None or t > max_ts else t
-        if not state.exists:
+        if not claimed:
             state.update((True,))
             if best is not None:
                 yield pd.DataFrame({"text_md5": [key[0]], "keeper_id": [best]})
         # already-claimed arrivals drain with no emission, but still
         # refresh the TTL: a key must expire ttl after its LAST sight,
         # not its first, or a hot duplicate would be re-admitted while
-        # still arriving
+        # still arriving.  Clamp to watermark+1: a LATE batch (max ts
+        # behind the watermark) must refresh to the nearest legal
+        # instant, not crash the query with INVALID_TIMEOUT_TIMESTAMP.
         if ttl_ms is not None and max_ts is not None:
-            state.setTimeoutTimestamp(int(max_ts.value // 1_000_000) + ttl_ms)
+            target = int(max_ts.value // 1_000_000) + ttl_ms
+            state.setTimeoutTimestamp(
+                max(target, state.getCurrentWatermarkMs() + 1)
+            )
 
     return _first_keeper
 

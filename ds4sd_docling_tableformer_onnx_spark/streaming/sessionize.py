@@ -17,12 +17,14 @@ micros.  Sessions close two ways, both emitting the same row:
 - event-time timeout: when the stream's watermark passes
   ``last + gap`` the state times out and the open session flushes.
 
-Out-of-order events are sorted per micro-batch; ACROSS batches the
-operator assumes time-ordered batch boundaries (what a watermarked
-ingest provides within its lateness bound).  A timeout target that the
-watermark has already passed (stale user) is clamped to watermark+1ms
-— the emitted row is unchanged because its content comes from state,
-not from when the flush fires.
+Out-of-order events are sorted per micro-batch; ACROSS batches, rows
+at or behind the watermark are DROPPED (standard watermark semantics —
+applyInPandasWithState delivers late rows rather than filtering them,
+and folding one in would rewind the open session's end and desync the
+stream from batch session_window semantics).  A timeout target that
+the watermark has already passed (stale user) is clamped to
+watermark+1ms — the emitted row is unchanged because its content comes
+from state, not from when the flush fires.
 
 Scale shape: one shuffle on user_id (the conversation key the
 extraction pipeline already partitions by), state bounded by OPEN
@@ -69,8 +71,19 @@ def _make_sessionizer(gap_us: int):
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # applyInPandasWithState does NOT filter late rows: events at or
+        # behind the watermark would rewind last_us and desync the fold
+        # from batch session_window semantics (a later on-time event
+        # then splits a session that batch would merge).  Standard
+        # watermark semantics: drop them here, explicitly.
+        wm_us = state.getCurrentWatermarkMs() * 1000
         ts = sorted(
-            int(v) for v in rows["ts"].astype("datetime64[us]").astype("int64")
+            t
+            for t in (
+                int(v)
+                for v in rows["ts"].astype("datetime64[us]").astype("int64")
+            )
+            if t > wm_us
         )
         if state.exists:
             start_us, last_us, n = state.get
@@ -80,10 +93,31 @@ def _make_sessionizer(gap_us: int):
             if n == 0:
                 start_us, last_us, n = t, t, 1
             elif t - last_us < gap_us:
-                last_us, n = t, n + 1
+                # defense in depth: a within-gap event sorted behind
+                # last_us (cross-batch disorder) must never move the
+                # session's end backwards
+                last_us, n = max(last_us, t), n + 1
             else:
                 closed.append(_row(start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
+        if n == 0:
+            # every row in this batch was late and dropped; leave any
+            # existing state untouched
+            if state.exists:
+                target_ms = (last_us + gap_us) // 1000
+                state.setTimeoutTimestamp(
+                    max(target_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                ],
+            )
+            return
         state.update((start_us, last_us, n))
         wm = state.getCurrentWatermarkMs()
         target_ms = (last_us + gap_us) // 1000

@@ -333,6 +333,7 @@ def test_csv_bridge_survives_hostile_content(spark, tmp_path):
         (5, "", "en"),
         (6, None, "en"),
         (7, '"""', "en"),
+        (8, "\\N", "en"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = str(tmp_path / "csv")
@@ -346,10 +347,13 @@ def test_csv_bridge_survives_hostile_content(spark, tmp_path):
         .reset_index(drop=True)
     )
     want = df.toPandas().sort_values("doc_id").reset_index(drop=True)
-    # quoteAll writes NULL and '' identically (""); explicit-schema read
-    # returns both as NULL — the ONE documented coercion of the dialect
-    want.loc[want["text"] == "", "text"] = None
+    # NULL and '' are now DISTINCT through the bridge (nullValue=\N);
+    # the ONE residual coercion, inherent to sentinel CSV nulls: a
+    # literal \N text value reads back as NULL
+    want.loc[want["text"] == "\\N", "text"] = None
     assert back.equals(want)
+    assert back.loc[back["doc_id"] == 5, "text"].iloc[0] == ""
+    assert back.loc[back["doc_id"] == 6, "text"].isna().iloc[0]
 
 
 def test_winnow_guarantee_and_tie_rule(spark):
