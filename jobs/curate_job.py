@@ -69,6 +69,7 @@ def curate(
     strip_substrings: bool = False,
     quality_filter: bool = False,
     source_quota: int | None = None,
+    keep_best: bool = False,
 ):
     """documents (doc_id, text, lang, source, ...) -> curated, packed
     survivors.  Returns (result_df, stats_dict).
@@ -85,7 +86,12 @@ def curate(
       (operators/similarity.semantic_dedup: IVF clusters, within-
       cluster cosine > ``sem_threshold`` to a smaller id).  Catches
       paraphrase-level duplicates the token-level simhash stage
-      cannot.
+      cannot;
+    - ``keep_best``: retention POLICY switch (the ``canonical_docs``
+      oracle semantics): keep the LONGEST post-strip text per near-dup
+      group (ties to the smaller doc_id) instead of the smallest id.
+      Length is computed live (F.length) so a substring-stripped text
+      competes with its true size, never a stale n_chars.
 
     Optional pre-dedup stages:
     - ``rule_filter``: drop documents failing the C4/Gopher heuristic
@@ -210,9 +216,21 @@ def curate(
     cand = simhash_candidates(simhash_column(docs), id_col="doc_id")
     edges = cand.where(F.col("hamming") <= hamming)
     groups = dedup_groups(docs, edges, id_col="doc_id")
+    joined = docs.join(groups, "doc_id")
+    if keep_best:
+        # canonical_docs policy: longest live text wins, ties to the
+        # smaller id — ONE group-bounded window, same cost shape as
+        # the min-id rule
+        best_win = Window.partitionBy("group_id").orderBy(
+            F.desc(F.length("text")), F.asc("doc_id")
+        )
+        keep_pred = F.row_number().over(best_win) == 1
+    else:
+        keep_pred = F.col("doc_id") == F.col("group_id")  # canonical = min id
     survivors_base = (
-        docs.join(groups, "doc_id")
-        .where(F.col("doc_id") == F.col("group_id"))  # canonical = min id
+        joined.withColumn("_keep", keep_pred)
+        .where("_keep")
+        .drop("_keep")
         .persist()
     )
     survivors = survivors_base
@@ -415,6 +433,11 @@ def main(argv=None):
         "skew-safe two-phase top-N) before the dedup stages",
     )
     parser.add_argument(
+        "--keep-best", action="store_true",
+        help="near-dup retention policy: keep the longest text per "
+        "group (canonical_docs semantics) instead of the smallest id",
+    )
+    parser.add_argument(
         "--sf-dir", default=None,
         help="read documents from <sf-dir>/documents.parquet (smoke runs)",
     )
@@ -446,6 +469,7 @@ def main(argv=None):
         rule_filter=args.rule_filter,
         strip_substrings=args.strip_dup_substrings,
         quality_filter=args.quality_filter,
+        keep_best=args.keep_best,
         source_quota=args.source_quota,
     )
     packed.write.mode("overwrite").parquet(args.output)
