@@ -271,11 +271,14 @@ def test_curate_keep_best_retention_policy(spark, docs):
     variant has the LARGEST id — the two policies provably differ."""
     from curate_job import curate
 
-    common = " ".join(["alpha beta gamma delta epsilon"] * 20)
+    # simhash signs over DISTINCT words: the three variants share one
+    # word SET (length differs only by repetition) -> hamming 0 ->
+    # guaranteed one group
+    common = "planted0 planted1 planted2 planted3 planted4"
     planted = [
-        ("900", common + " x", "srcp", "en"),
-        ("901", common + " y", "srcp", "en"),
-        ("902", common + " y zzzzzzzzzzzzzzzzzzzz", "srcp", "en"),
+        ("900", common, "srcp", "en"),
+        ("901", common, "srcp", "en"),
+        ("902", common + " planted0" * 20, "srcp", "en"),
     ]
     docs_p = docs.unionByName(
         spark.createDataFrame(
