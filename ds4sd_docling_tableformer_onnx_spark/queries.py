@@ -7186,22 +7186,26 @@ def q_stream_sessionize(spark, sf_dir):
 
     from .streaming.sessionize import stream_sessionize
 
-    events = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    events = _read(spark, sf_dir, "events").select("user_id", "ts")
     bounds = events.agg(
-        F.max("ts").alias("max_ts"), F.max("event_id").alias("max_id")
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")
     ).first()
     gap = dt.timedelta(minutes=10)
 
     work = tempfile.mkdtemp(prefix="stream_sessionize_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     in_dir, out_dir, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
-    half = int(bounds["max_id"]) // 2
-    events.where(F.col("event_id") <= half).select("user_id", "ts").coalesce(
-        1
-    ).write.parquet(f"{in_dir}/b1")
-    events.where(F.col("event_id") > half).select("user_id", "ts").coalesce(
-        1
-    ).write.parquet(f"{in_dir}/b2")
+    # batches MUST be split on TIME (a watermark-ordered ingest), never
+    # on a surrogate id: sf1's remix recycles timestamps under fresh
+    # event_ids, so an id split makes every batch-2 row late (found by
+    # the sf1 sweep — streamed lost exactly the late half)
+    t_mid = bounds["min_ts"] + (bounds["max_ts"] - bounds["min_ts"]) / 2
+    events.where(F.col("ts") <= F.lit(t_mid)).coalesce(1).write.parquet(
+        f"{in_dir}/b1"
+    )
+    events.where(F.col("ts") > F.lit(t_mid)).coalesce(1).write.parquet(
+        f"{in_dir}/b2"
+    )
     for i, mult in ((3, 3), (4, 6)):
         spark.createDataFrame(
             [(-1, bounds["max_ts"] + mult * gap)], "user_id long, ts timestamp"
