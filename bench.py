@@ -144,6 +144,7 @@ HEADLINE = [
     "zorder_layout",
     "stratified_sample",
     "quantile_sketch",
+    "range_checksums",
 ]
 
 

@@ -7239,3 +7239,84 @@ def q_stream_sessionize(spark, sf_dir):
 
 
 _register("stream_sessionize", q_stream_sessionize, _SESSION_ORACLE)
+
+# ---------------------------------------------------------------------------
+# Range-checksum audit — the anti-entropy / reconciliation primitive
+# (how two copies of a 10^12-row table are compared WITHOUT shipping
+# rows): per key-range row counts + an order-independent checksum =
+# int64 SUM of u32_md5(row fingerprint).  Two snapshots diff by joining
+# their tiny audit tables; a mutated/missing/extra row flips exactly
+# its range's checksum (planted-mutation test).  Row fingerprints use
+# the functions/keys.py injectivity discipline: each column hashed to
+# fixed width with an explicit NULL marker before concatenation — no
+# concat_ws null-skipping, no width ambiguity.  Money enters as integer
+# cents (double→string rendering differs across engines; ints don't).
+#
+# Scale shape: ONE map-side-combined agg; output rows = #ranges
+# (keyspace/4096).  The checksum SUM commutes, so partial aggregation
+# is exact and layout-independent — the property that makes the audit
+# valid across differently-partitioned copies.
+# ---------------------------------------------------------------------------
+
+_AUDIT_RANGE = 4096
+
+
+def q_range_checksums(spark, sf_dir):
+    """(range_id, n_rows, checksum): order-independent per-range audit
+    fingerprints of the orders table."""
+    from pyspark.sql import functions as F
+
+    from .functions.keys import NULL_MARK
+    from .functions.sampling import u32_md5
+
+    orders = _read(spark, sf_dir, "orders")
+
+    def part(col):
+        return F.when(col.isNull(), F.lit(NULL_MARK)).otherwise(
+            F.md5(col.cast("string"))
+        )
+
+    fingerprint = F.concat(
+        part(F.col("o_orderkey")),
+        part(F.col("o_custkey")),
+        part(F.col("o_orderstatus")),
+        part(F.round(F.col("o_totalprice") * 100).cast("long")),
+        part(F.col("o_orderdate").cast("string")),
+        part(F.col("o_orderpriority")),
+    )
+    return (
+        orders.select(
+            F.expr(f"o_orderkey div {_AUDIT_RANGE}").alias("range_id"),
+            u32_md5(fingerprint).alias("u32"),
+        )
+        .groupBy("range_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("u32").cast("long").alias("checksum"),
+        )
+    )
+
+
+_register(
+    "range_checksums",
+    q_range_checksums,
+    f"""
+    WITH fp AS (
+        SELECT o_orderkey // {_AUDIT_RANGE} AS range_id,
+               ('0x' || substr(md5(
+                   coalesce(md5(CAST(o_orderkey AS VARCHAR)), chr(1) || 'null')
+                || coalesce(md5(CAST(o_custkey AS VARCHAR)), chr(1) || 'null')
+                || coalesce(md5(o_orderstatus), chr(1) || 'null')
+                || coalesce(md5(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                     AS VARCHAR)), chr(1) || 'null')
+                || coalesce(md5(CAST(o_orderdate AS VARCHAR)), chr(1) || 'null')
+                || coalesce(md5(o_orderpriority), chr(1) || 'null')
+               ), 1, 8))::UBIGINT AS u32
+        FROM orders
+    )
+    SELECT CAST(range_id AS BIGINT) AS range_id,
+           count(*) AS n_rows,
+           CAST(sum(u32) AS BIGINT) AS checksum
+    FROM fp GROUP BY range_id
+    """,
+)

@@ -533,3 +533,32 @@ def test_stream_sessionize_drops_late_rows(spark, tmp_path):
     assert [(r.n_events, r.session_start[11:16]) for r in rows] == [
         (3, "09:00")
     ]
+
+
+def test_range_checksums_detect_single_mutation(spark, tmp_path):
+    """Reconciliation property: a copy of orders with ONE field of ONE
+    row mutated diffs in EXACTLY its range's checksum (row counts
+    identical everywhere) — the audit finds the needle without
+    shipping rows."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    victim = orders.select("o_orderkey").first()["o_orderkey"]
+    mutated = orders.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") == victim, F.lit("9-TAMPERED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    snap = str(tmp_path / "mutated")
+    mutated.write.parquet(f"{snap}/orders.parquet")
+
+    a = QUERIES["range_checksums"](spark, SF).toPandas().set_index("range_id")
+    b = (
+        QUERIES["range_checksums"](spark, snap)
+        .toPandas()
+        .set_index("range_id")
+    )
+    assert (a["n_rows"] == b["n_rows"]).all()
+    diff = a.index[a["checksum"] != b["checksum"]]
+    from ds4sd_docling_tableformer_onnx_spark.queries import _AUDIT_RANGE
+
+    assert list(diff) == [victim // _AUDIT_RANGE]
