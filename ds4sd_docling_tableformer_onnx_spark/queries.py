@@ -5402,19 +5402,25 @@ _register(
 
 
 
-def _conv_ordered(render):
+def _conv_ordered(render, with_props: bool = False):
     """Stable-turn-order conversation array: per-group (ts, event_id)
     sorted event structs, each projected by ``render`` — THE ordering
     contract every conversation operator shares (sequence_dedup,
     chat_template_render, context_windows, funnel_steps; the same
     discipline the extraction pipeline pins on conv_id/turn_idx).  One
-    definition so a future tie-break change cannot desync them."""
+    definition so a future tie-break change cannot desync them.
+
+    ``with_props`` gates the payload column OUT of the collect_list
+    shuffle for the operators that never render it (sequence_dedup,
+    funnel_steps) — ordering is unaffected because event_id is unique.
+    """
     from pyspark.sql import functions as F
 
+    fields = ["ts", "event_id", "event_type"] + (
+        ["props"] if with_props else []
+    )
     return F.transform(
-        F.sort_array(
-            F.collect_list(F.struct("ts", "event_id", "event_type", "props"))
-        ),
+        F.sort_array(F.collect_list(F.struct(*fields))),
         render,
     )
 
@@ -6046,7 +6052,7 @@ def q_chat_template_render(spark, sf_dir):
 
     events = _read(spark, sf_dir, "events")
     convs = events.groupBy("user_id").agg(
-        F.array_join(_conv_ordered(_render_turn), "").alias("full_s"),
+        F.array_join(_conv_ordered(_render_turn, with_props=True), "").alias("full_s"),
         F.count("*").cast("long").alias("n_turns"),
     )
     return convs.select(
@@ -6098,7 +6104,7 @@ def q_context_windows(spark, sf_dir):
 
     events = _read(spark, sf_dir, "events")
     convs = events.groupBy("user_id").agg(
-        _conv_ordered(_render_turn).alias("turns")
+        _conv_ordered(_render_turn, with_props=True).alias("turns")
     )
     starts = convs.select(
         "user_id",

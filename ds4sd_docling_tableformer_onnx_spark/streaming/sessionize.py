@@ -17,14 +17,23 @@ micros.  Sessions close two ways, both emitting the same row:
 - event-time timeout: when the stream's watermark passes
   ``last + gap`` the state times out and the open session flushes.
 
-Out-of-order events are sorted per micro-batch; ACROSS batches, rows
-at or behind the watermark are DROPPED (standard watermark semantics —
-applyInPandasWithState delivers late rows rather than filtering them,
-and folding one in would rewind the open session's end and desync the
-stream from batch session_window semantics).  A timeout target that
-the watermark has already passed (stale user) is clamped to
-watermark+1ms — the emitted row is unchanged because its content comes
-from state, not from when the flush fires.
+Out-of-order handling, precisely:
+- within a micro-batch: sorted, exact;
+- strictly-late rows (ts < watermark — Spark's own late definition;
+  applyInPandasWithState delivers rather than filters them) are
+  DROPPED here, explicitly;
+- ON-TIME cross-batch disorder (possible only with a nonzero
+  watermark delay): an event within gap of the open session merges
+  and extends the session START backwards (never rewinds the end),
+  matching batch semantics; an on-time event >= gap older than the
+  open session emits as its own immediate session — exact vs batch
+  unless a later arrival lands between it and the open session, the
+  one residual of not buffering a full watermark-delay window.  With
+  time-split batches or delay=0 (this repo's harnesses) the residual
+  branch cannot fire and streamed == batch exactly.
+A timeout target the watermark has already passed (stale user) is
+clamped to watermark+1ms — the emitted row is unchanged because its
+content comes from state, not from when the flush fires.
 
 Scale shape: one shuffle on user_id (the conversation key the
 extraction pipeline already partitions by), state bounded by OPEN
@@ -71,11 +80,12 @@ def _make_sessionizer(gap_us: int):
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
-        # applyInPandasWithState does NOT filter late rows: events at or
-        # behind the watermark would rewind last_us and desync the fold
-        # from batch session_window semantics (a later on-time event
-        # then splits a session that batch would merge).  Standard
-        # watermark semantics: drop them here, explicitly.
+        # applyInPandasWithState does NOT filter late rows: events
+        # strictly behind the watermark would rewind the open session
+        # and desync the fold from batch session_window semantics.
+        # Standard watermark semantics (Spark's own late definition is
+        # ts < watermark, strictly): drop them here, explicitly; a row
+        # exactly AT the watermark is on time and kept.
         wm_us = state.getCurrentWatermarkMs() * 1000
         ts = sorted(
             t
@@ -83,7 +93,7 @@ def _make_sessionizer(gap_us: int):
                 int(v)
                 for v in rows["ts"].astype("datetime64[us]").astype("int64")
             )
-            if t > wm_us
+            if t >= wm_us
         )
         if state.exists:
             start_us, last_us, n = state.get
@@ -92,22 +102,28 @@ def _make_sessionizer(gap_us: int):
         for t in ts:
             if n == 0:
                 start_us, last_us, n = t, t, 1
-            elif t - last_us < gap_us:
-                # defense in depth: a within-gap event sorted behind
-                # last_us (cross-batch disorder) must never move the
-                # session's end backwards
-                last_us, n = max(last_us, t), n + 1
+            elif t >= last_us:
+                # in-order (the common case)
+                if t - last_us < gap_us:
+                    last_us, n = t, n + 1
+                else:
+                    closed.append(_row(start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+            elif start_us - t < gap_us:
+                # ON-TIME cross-batch disorder (possible whenever the
+                # watermark delay is nonzero) within gap of the open
+                # session's span: batch semantics merge it AND extend
+                # the start backwards — never rewind the end
+                start_us, n = min(start_us, t), n + 1
             else:
-                closed.append(_row(start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+                # on-time but >= gap older than the open session: its
+                # own immediate session.  Exact vs batch iff no later
+                # arrival lands between t and start_us — the precise
+                # residual the module docstring states; with time-split
+                # batches or delay=0 this branch cannot fire
+                closed.append(_row(t, t, 1))
         if n == 0:
-            # every row in this batch was late and dropped; leave any
-            # existing state untouched
-            if state.exists:
-                target_ms = (last_us + gap_us) // 1000
-                state.setTimeoutTimestamp(
-                    max(target_ms, state.getCurrentWatermarkMs() + 1)
-                )
+            # no state and every row late: nothing to open or emit
             yield pd.DataFrame(
                 closed,
                 columns=[

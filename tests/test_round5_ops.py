@@ -551,14 +551,99 @@ def test_range_checksums_detect_single_mutation(spark, tmp_path):
     snap = str(tmp_path / "mutated")
     mutated.write.parquet(f"{snap}/orders.parquet")
 
-    a = QUERIES["range_checksums"](spark, SF).toPandas().set_index("range_id")
+    a = (
+        QUERIES["range_checksums"](spark, SF)
+        .toPandas()
+        .set_index("range_id")
+        .sort_index()
+    )
     b = (
         QUERIES["range_checksums"](spark, snap)
         .toPandas()
         .set_index("range_id")
+        .sort_index()
     )
     assert (a["n_rows"] == b["n_rows"]).all()
     diff = a.index[a["checksum"] != b["checksum"]]
     from ds4sd_docling_tableformer_onnx_spark.queries import _AUDIT_RANGE
 
     assert list(diff) == [victim // _AUDIT_RANGE]
+
+
+def test_stream_sessionize_on_time_disorder_under_delay(spark, tmp_path):
+    """Self-review regression (r5, second pass): with a NONZERO
+    watermark delay, cross-batch disorder is ON TIME and must match
+    batch semantics — an event within gap of the open session merges
+    and extends the session START backwards; an event >= gap older
+    emits as its own session.  Expected rows are Spark's own batch
+    session_window over the identical events."""
+    import datetime as dt
+
+    from ds4sd_docling_tableformer_onnx_spark.streaming.sessionize import (
+        stream_sessionize,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2026, 5, 1, 8, 0)
+    m = dt.timedelta(minutes=1)
+    in_dir = tmp_path / "in"
+    batches = [
+        [(1, t0 + 70 * m), (2, t0 + 70 * m)],  # both open at 9:10
+        # on-time under the 2h delay: user 1 merges backwards (9:07);
+        # user 2's 8:00 is >= gap older -> its own session
+        [(1, t0 + 67 * m), (2, t0)],
+        [(-1, t0 + 600 * m)],  # sentinel: advance watermark
+        [(-1, t0 + 1200 * m)],  # sentinel: fire timeouts
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(str(in_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    query = (
+        stream_sessionize(stream, gap="10 minutes", delay="2 hours")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .where("user_id >= 0")
+        .collect()
+    }
+    flat = [r for b in batches[:2] for r in b]
+    expected_df = (
+        spark.createDataFrame(flat, "user_id long, ts timestamp")
+        .groupBy("user_id", F.session_window("ts", "10 minutes").alias("sw"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in expected_df.collect()
+    }
+    assert got == expected
+    # and the two interesting shapes really occurred: a 2-event merged
+    # session starting at the LATER-ARRIVED earlier time for user 1,
+    # and two separate sessions for user 2
+    assert any(u == 1 and n == 2 and s.endswith("09:07:00.000000")
+               for u, s, _e, n in got)
+    assert sum(1 for u, *_ in got if u == 2) == 2
