@@ -5,26 +5,40 @@ MinHash/SimHash/LSH banding) must become GROUPS so one canonical
 document per group survives.  Pairs are edges; groups are connected
 components; the canonical id is the component minimum.
 
-Scale design (10^9+ nodes): hash-min label propagation —
+Scale design (10^9+ nodes): contracted hash-min label propagation —
 
-- state is one (id, comp) table, edges one (src, dst) table, both hash-
-  partitioned on id; every iteration is one join + one aggregation
-  (shuffles keyed on id, AQE-skew-safe);
-- labels propagate one hop per iteration, so iterations ~ graph
-  diameter.  Near-dup components are dense clumps (diameter 2-4 in
-  practice); the ``max_iter`` cap bounds the worst case and
-  non-convergence raises rather than returning wrong groups;
+- round 0 is FUSED into one aggregation: with initial labels == ids,
+  ``c0 = least(id, min(neighbor id))`` needs no label join at all.
+  Near-dup edge sets are dense clumps, so this single pass contracts
+  most of each component (measured sf0.1: 2,577 nodes / 332k directed
+  edges -> 519 labels, 3,146 contracted edges);
+- the propagation loop then runs on the CONTRACTED label graph (edges
+  relabeled through c0, distinct), so every subsequent shuffle carries
+  label-class rows, not raw nodes;
+- each loop iteration is hash-min PLUS one pointer-jump
+  (``comp <- comp[comp]``), which chases chains exponentially instead
+  of one hop per iteration (12-node-path test: distance covered after
+  k loop rounds is ~2^k);
+- state is one (id, comp) table, edges one (src, dst) table, both
+  hash-partitioned on id; every step is joins + aggregations keyed on
+  id (AQE-skew-safe);
+- ``max_iter`` caps the LOOP rounds and non-convergence raises rather
+  than returning wrong groups; the returned labels are exact
+  regardless of round count because the loop only exits on a
+  zero-change fixed point (comp == component minimum — unchanged
+  implies every neighbor min >= own comp, the hash-min fixed point);
 - each iteration ``localCheckpoint``s the label table: iterative
   DataFrame loops otherwise grow the logical plan exponentially and
   re-execute the whole history every action.  On a cluster swap for
   ``checkpoint()`` against a reliable dir (or write/read a table) —
   the call site is the only change;
 - convergence detection is one count of changed labels per iteration
-  (cheap: the label table is one row per node).
+  (cheap: the label table is one row per contracted label).
 
-GraphFrames ships the same algorithm; this stays dependency-free and
-oracle-replicable (DuckDB recursive CTE computes the same min-label
-closure).
+GraphFrames ships the same algorithm family; this stays
+dependency-free and oracle-replicable (the oracle's unrolled plain
+hash-min propagation reaches the same fixed point — min label per
+component — which the zero-change exit proves exactly).
 """
 
 from __future__ import annotations
@@ -35,26 +49,53 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter:
     ``comp`` is the smallest node id in the component (deterministic).
 
     Raises ``RuntimeError`` if not converged within ``max_iter``
-    iterations — wrong groups are worse than a loud failure.
+    loop iterations — wrong groups are worse than a loud failure.
     """
     from pyspark.sql import functions as F
 
-    # symmetrize once; self-loops drop out (they never change a min)
+    # symmetrize once; self-loops drop out (they never change a min).
+    # No distinct: duplicate directed edges are absorbed by the min
+    # aggregations below (map-side partial agg), so the dedup shuffle
+    # the old implementation paid here bought nothing.
     fwd = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    sym = fwd.union(rev).where(F.col("a") != F.col("b")).distinct()
-    sym = sym.localCheckpoint()
+    sym = fwd.union(rev).where(F.col("a") != F.col("b")).localCheckpoint()
+
+    # round 0 fused into ONE aggregation: labels start as ids, so
+    # min(comp, min nbr comp) == least(a, min(b)) — no join needed
+    c0 = (
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("c"))
+        .localCheckpoint()
+    )
+
+    # contract: relabel every edge through c0 and keep only edges that
+    # still cross label classes — the loop below runs on this (much
+    # smaller) label graph
+    ca = c0.select("a", F.col("c").alias("ca"))
+    cb = c0.select(F.col("a").alias("b"), F.col("c").alias("cb"))
+    contracted = (
+        sym.join(ca, "a")
+        .join(cb, "b")
+        .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
 
     labels = (
-        sym.select(F.col("a").alias("id"))
+        contracted.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
 
+    converged = labels.isEmpty()  # fully contracted: comp == c0
     for _ in range(max_iter):
+        if converged:
+            break
         nbr_min = (
-            sym.join(
+            contracted.join(
                 labels.select(
                     F.col("id").alias("b"), F.col("comp").alias("nbr_comp")
                 ),
@@ -63,27 +104,48 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter:
             .groupBy("a")
             .agg(F.min("nbr_comp").alias("nbr_min"))
         )
-        # carry the previous label through the checkpoint so convergence
-        # detection is one cheap scan of the materialized state, not a
-        # second join
+        # hash-min step, carrying the previous label through the
+        # checkpoint so convergence detection is one cheap scan of the
+        # materialized state, not a second join
+        step = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("m"),
+            F.col("comp").alias("prev"),
+        )
+        # pointer jump: comp <- comp[m] (labels are node ids, so m is
+        # always a key of the label table; left join + coalesce is
+        # armor, not semantics)
         stepped = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            step.join(
+                labels.select(F.col("id").alias("m"), F.col("comp").alias("mc")),
+                "m",
+                "left",
+            )
             .select(
                 "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-                F.col("comp").alias("prev"),
+                F.coalesce(F.col("mc"), F.col("m")).alias("comp"),
+                "prev",
             )
             .localCheckpoint()  # truncate lineage every iteration
         )
         changed = stepped.where(F.col("comp") != F.col("prev")).count()
         labels = stepped.select("id", "comp")
         if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations "
-        "(graph diameter exceeds the cap) — raise max_iter"
+            converged = True
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(graph diameter exceeds the cap) — raise max_iter"
+        )
+
+    # map back through the contraction: comp[x] = loop_comp[c0[x]],
+    # falling back to c0 for label classes that were already whole
+    # components (no cross-class edge -> not in the loop's label table)
+    return c0.join(labels.withColumnRenamed("id", "c"), "c", "left").select(
+        F.col("a").alias("id"),
+        F.coalesce(F.col("comp"), F.col("c")).alias("comp"),
     )
 
 
