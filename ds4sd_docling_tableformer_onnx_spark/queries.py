@@ -3902,7 +3902,11 @@ def q_semantic_dedup(spark, sf_dir):
     some_dropped)."""
     from pyspark.sql import functions as F
 
-    from .operators.similarity import _dot, normalize_column, semantic_dedup
+    from .operators.similarity import (
+        normalize_column,
+        round6_half_away,
+        semantic_dedup,
+    )
     from .plans.cache import adopt, cached_inputs
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -3921,11 +3925,8 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
     # independent re-check: join ALL rows back to their RAW vectors,
-    # re-normalize, and re-score within-cluster pairs from scratch
-    # (same normalize-then-dot arithmetic as the operator, so a
-    # threshold-boundary pair cannot flip between the two passes)
-    # persisted: four join legs below (kept a/b, dropped d, witness w)
-    # would otherwise re-run the emb join + normalize UDF per leg
+    # re-normalize, and re-score within-cluster pairs from scratch;
+    # persisted: both the scoring pass and the stats leg consume it
     allv = (
         normalize_column(
             res.join(emb, res["id"] == emb["vec_id"]).select(
@@ -3941,38 +3942,52 @@ def q_semantic_dedup(spark, sf_dir):
     # capped clusters are excluded from pair scoring by design, so the
     # verifier must not re-score them — their rows stay kept and carry
     # no witness obligation (dropped rows only exist in uncapped
-    # clusters, so the witness leg is already cap-consistent)
-    kept = allv.where("kept AND NOT capped").select("id", "cluster", "nv")
-    a, b = kept.alias("a"), kept.alias("b")
-    kept_viol = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.id") < F.col("b.id")),
+    # clusters, so the witness leg is already cap-consistent).
+    # Both re-checks are within-cluster computations, so they run as
+    # ONE per-cluster vectorized pass (same blocked-matmul scoring and
+    # 6-dp rounding as the operator — identical per-pair arithmetic, so
+    # a threshold-boundary pair cannot flip between the two passes):
+    # - n_viol: kept pairs (a.id < b.id, both kept) scoring above tau;
+    # - n_witnessed: dropped rows with a smaller-id same-cluster
+    #   neighbor above tau (the operator's exact drop rule — the
+    #   witness itself may be kept or dropped).
+    tau = _SEMDEDUP_TAU
+
+    def _verify_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        mat = np.stack(pdf["nv"].to_numpy())
+        kept = pdf["kept"].to_numpy(dtype=bool)
+        n = len(pdf)
+        cols = np.arange(n)
+        n_viol = 0
+        n_wit = 0
+        for s in range(0, n, 256):
+            e = min(s + 256, n)
+            scores = round6_half_away(mat[s:e] @ mat.T)
+            valid = cols[None, :] < np.arange(s, e)[:, None]
+            above = (scores > tau) & valid
+            blk_kept = kept[s:e]
+            n_viol += int((above & kept[None, :])[blk_kept].sum())
+            n_wit += int((above.any(axis=1) & ~blk_kept).sum())
+        return pd.DataFrame({"n_viol": [n_viol], "n_witnessed": [n_wit]})
+
+    checks = (
+        allv.where("NOT capped")
+        .select("id", "cluster", "kept", "nv")
+        .groupBy("cluster")
+        .applyInPandas(_verify_cluster, schema="n_viol long, n_witnessed long")
+        .agg(
+            F.coalesce(F.sum("n_viol"), F.lit(0)).alias("n_viol"),
+            F.coalesce(F.sum("n_witnessed"), F.lit(0)).alias("n_witnessed"),
         )
-        .where(F.round(_dot(F.col("a.nv"), F.col("b.nv")), 6) > _SEMDEDUP_TAU)
-        .agg(F.count("*").alias("n_viol"))
-    )
-    # witness re-check: every DROPPED row must have a smaller-id
-    # same-cluster neighbor above the threshold (the operator's exact
-    # drop rule — the witness itself may be kept or dropped)
-    d = allv.where("NOT kept").alias("d")
-    w = allv.where("NOT capped").alias("w")
-    witnessed = (
-        d.join(
-            w,
-            (F.col("w.cluster") == F.col("d.cluster"))
-            & (F.col("w.id") < F.col("d.id"))
-            & (F.round(_dot(F.col("w.nv"), F.col("d.nv")), 6) > _SEMDEDUP_TAU),
-            "left_semi",
-        )
-        .agg(F.count("*").alias("n_witnessed"))
     )
     n_input = emb.agg(F.count("*").alias("n_input"))
     verdict = (
         n_input.crossJoin(stats)
-        .crossJoin(kept_viol)
-        .crossJoin(witnessed)
+        .crossJoin(checks)
         .select(
             F.lit("semdedup").alias("method"),
             F.col("n_input").cast("long").alias("n_input"),
