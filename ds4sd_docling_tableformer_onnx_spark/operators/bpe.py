@@ -11,13 +11,20 @@ Scale design (10^12-char corpora):
 - each round is ONE corpus pass for pair counts (explode + map-side
   combined groupBy — the same shuffle shape as ``bpe_pair_counts``)
   plus ONE narrow map stage applying the merge (no shuffle);
-- the merge itself is a vectorized Arrow-batched pandas UDF.  The
-  alternative — a Catalyst ``aggregate`` fold appending to an array
-  accumulator — is O(n_tokens^2) per document (immutable array copied
-  per element) and measured orders slower; greedy left-to-right
-  non-overlapping matching is inherently sequential per document, the
-  textbook justification for dropping to a pandas UDF.  Inside the UDF
-  everything is numpy masks except a loop over *match positions* (few);
+- the merge itself is a single JVM ``replace`` over a separator-joined
+  STRING form of the token stream: each token is wrapped as
+  ``SEP tok SEP``, so the literal pattern ``SEP lft SEP SEP rgt SEP``
+  matches exactly token-aligned (lft, rgt) adjacencies, and Java's
+  left-to-right non-overlapping replace IS the greedy BPE merge rule
+  (a run "a a a" wraps to ``SaSSaSSaS``; the first match consumes both
+  wrappers, so the overlapping middle position correctly survives).
+  The earlier Arrow-batched pandas UDF paid a JVM->Python->JVM round
+  trip of the whole token stream per round; the string form keeps all
+  k rounds inside whole-stage codegen, and the checkpointed state per
+  round is one compact string column instead of an array of per-char
+  strings.  ``SEP`` is a non-ASCII sentinel; an in-plan ``raise_error``
+  guards the (never-exercised: trainers run on ASCII-filtered shards)
+  case of a token containing it;
 - the token stream is ``localCheckpoint``-ed every round, truncating
   the otherwise k-deep lineage so round k doesn't re-run rounds 1..k-1
   on every action (same discipline as operators/graph.py label
@@ -51,6 +58,12 @@ def char_tokens(df, text_col: str = "text", out_col: str = "toks"):
     )
 
 
+# non-ASCII sentinel separating tokens in the string-form stream (BPE
+# trainers run on ASCII-filtered shards, so no token can contain it;
+# the conversion raise_error-guards the general case)
+_SEP = "\ue000"
+
+
 def _top_pair(stream, toks_col: str):
     """The (left, right, count) argmax adjacent pair of the current
     token stream, deterministic tie-break; None on an empty stream."""
@@ -81,46 +94,23 @@ def _top_pair(stream, toks_col: str):
     return rows[0] if rows else None
 
 
-def _apply_merge(stream, toks_col: str, left: str, right: str):
-    """One merge round over the token-array column: greedy
-    non-overlapping left-to-right replacement of (left, right) by
-    left+right, vectorized per Arrow batch."""
+def _apply_merge_str(stream, str_col: str, left: str, right: str):
+    """One merge round over the string-form stream: Java's literal
+    left-to-right non-overlapping ``replace`` of the token-aligned
+    pattern ``SEP left SEP SEP right SEP`` with ``SEP leftright SEP``
+    IS the greedy BPE merge rule (see module docstring) — pure
+    whole-stage codegen, no Python boundary."""
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
-    merged = left + right
-
-    @pandas_udf("array<string>")
-    def _merge(series):
-        import numpy as np
-        import pandas as pd
-
-        out = []
-        for toks in series:
-            if toks is None or len(toks) < 2:
-                out.append(toks)
-                continue
-            arr = np.asarray(toks, dtype=object)
-            hit = np.flatnonzero((arr[:-1] == left) & (arr[1:] == right))
-            if hit.size == 0:
-                out.append(toks)
-                continue
-            # greedy non-overlap: drop a match whose predecessor matched
-            sel = []
-            last = -2
-            for i in hit.tolist():
-                if i > last + 1:
-                    sel.append(i)
-                    last = i
-            sel = np.asarray(sel, dtype=np.int64)
-            arr = arr.copy()
-            arr[sel] = merged
-            keep = np.ones(len(arr), dtype=bool)
-            keep[sel + 1] = False
-            out.append(arr[keep].tolist())
-        return pd.Series(out)
-
-    return stream.withColumn(toks_col, _merge(F.col(toks_col)))
+    s = _SEP
+    return stream.withColumn(
+        str_col,
+        F.replace(
+            F.col(str_col),
+            F.lit(f"{s}{left}{s}{s}{right}{s}"),
+            F.lit(f"{s}{left}{right}{s}"),
+        ),
+    )
 
 
 def bpe_encode(df, merges, text_col: str = "text", out_col: str = "tokens"):
@@ -202,10 +192,33 @@ def bpe_merge_rounds(df, rounds: int = 5, toks_col: str = "toks"):
     merge table) and ``final_stream`` the post-merge token frame.
     Stops early if the corpus runs out of pairs.
     """
-    stream = df.localCheckpoint()
+    from pyspark.sql import functions as F
+
+    s = _SEP
+    toks = F.col(toks_col)
+    # string form: every token wrapped SEP tok SEP (adjacent wrappers
+    # back to back), with an in-plan guard against SEP inside a token
+    as_str = (
+        F.when(toks.isNull(), F.lit(None).cast("string"))
+        .when(
+            F.exists(toks, lambda x: x.contains(s)),
+            F.raise_error(
+                F.lit("bpe_merge_rounds: token contains the reserved separator U+E000")
+            ),
+        )
+        .when(F.size(toks) == 0, F.lit(""))
+        .otherwise(F.concat(F.lit(s), F.concat_ws(s + s, toks), F.lit(s)))
+    )
+    stream = df.withColumn("_bpe_str", as_str).drop(toks_col).localCheckpoint()
+
     merges = []
     for r in range(1, rounds + 1):
-        top = _top_pair(stream, toks_col)
+        top = _top_pair(
+            stream.withColumn(
+                toks_col, F.filter(F.split(F.col("_bpe_str"), s), lambda x: x != "")
+            ),
+            toks_col,
+        )
         if top is None or top["cnt"] == 0:
             break
         merges.append(
@@ -219,5 +232,10 @@ def bpe_merge_rounds(df, rounds: int = 5, toks_col: str = "toks"):
         )
         # localCheckpoint: materialize this round's stream and truncate
         # lineage (otherwise round k replays rounds 1..k-1 per action)
-        stream = _apply_merge(stream, toks_col, top["lft"], top["rgt"]).localCheckpoint()
-    return merges, stream
+        stream = _apply_merge_str(
+            stream, "_bpe_str", top["lft"], top["rgt"]
+        ).localCheckpoint()
+    final = stream.withColumn(
+        toks_col, F.filter(F.split(F.col("_bpe_str"), s), lambda x: x != "")
+    ).drop("_bpe_str")
+    return merges, final
