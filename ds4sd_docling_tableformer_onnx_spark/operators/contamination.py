@@ -99,8 +99,20 @@ def duplicated_span_stats(
 ) -> DataFrame:
     """(id, n_positions, n_dup_positions, dup_frac) per document with
     >= 1 gram position; dup_frac rounded to 6 dp on both engine and
-    oracle sides."""
-    grams = docs.select(id_col, _word_gram_hashes(F.col(text_col), n).alias("grams"))
+    oracle sides.
+
+    The per-doc gram-hash ARRAY is constructed once and persisted (a
+    narrow materialization — no shuffle); both phases explode the
+    cached arrays.  The previous two-branch plan re-ran the gram
+    construction (split + n-word joins + xxhash64 per position — the
+    operator's dominant map cost) for each phase.  The persisted gram
+    table is owned by the returned frame: release with
+    ``plans.cache.release(result)`` after the terminal action."""
+    from ..plans.cache import adopt
+
+    grams = docs.select(
+        id_col, _word_gram_hashes(F.col(text_col), n).alias("grams")
+    ).persist()
 
     # phase 1: doc frequency over per-doc DISTINCT gram hashes -> hot set
     hot = (
@@ -117,13 +129,14 @@ def duplicated_span_stats(
         id_col, F.explode("grams").alias("gram_h")
     )
     flagged = positions.join(hot.withColumn("is_dup", F.lit(1)), "gram_h", "left")
-    return flagged.groupBy(id_col).agg(
+    result = flagged.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_positions"),
         F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_positions"),
         F.round(
             F.coalesce(F.sum("is_dup"), F.lit(0)).cast("double") / F.count("*"), 6
         ).alias("dup_frac"),
     )
+    return adopt(result, grams)
 
 
 def strip_duplicated_substrings(

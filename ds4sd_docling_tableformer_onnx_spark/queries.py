@@ -37,6 +37,23 @@ def _read(spark, sf_dir, table):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _widen(df):
+    """Scale-adaptive scan widening for queries whose map side does
+    heavy per-row expression work (gram hashing, fingerprinting, text
+    shingling): when the scan produced fewer partitions than the
+    session's parallelism (bench-scale tables are single-row-group
+    parquet files, so the whole map stage would run on ONE core), pay
+    one tiny round-robin shuffle to spread it.  At corpus scale the
+    scan already has >= parallelism splits and this is a no-op — the
+    guide's rule that partitioning must derive from input size, not a
+    constant.  Only used by queries whose aggregates are exact-integer
+    or per-row (partition order never reaches a float sum)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Window / ordering family (W1-W5)
 # ---------------------------------------------------------------------------
@@ -2738,7 +2755,8 @@ def q_decontaminate(spark, sf_dir):
 
     from .operators.contamination import decontaminate
 
-    docs = _read(spark, sf_dir, "documents")
+    # widened: gram hashing is the map cost; output is an exact count
+    docs = _widen(_read(spark, sf_dir, "documents"))
     return decontaminate(
         docs.where(F.col("doc_id") % 43 != 0),
         docs.where(F.col("doc_id") % 43 == 0),
@@ -2774,7 +2792,9 @@ def q_dup_span_stats(spark, sf_dir):
     signal at gram granularity)."""
     from .operators.contamination import duplicated_span_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    # widened: the gram-hash map stage is the cost; counts are exact
+    # integers, so partition order cannot reach a float (see _widen)
+    docs = _widen(_read(spark, sf_dir, "documents"))
     return duplicated_span_stats(docs, n=_DECON_N, min_df=_DUP_MIN_DF)
 
 

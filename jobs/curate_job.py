@@ -239,6 +239,7 @@ def curate(
     # optional embedding-level (SemDeDup) near-dup drop
     n_contaminated = n_repetitive = n_semantic = 0
     sem = None
+    span_stats = None
     if emb_docs is not None:
         from ds4sd_docling_tableformer_onnx_spark.operators.similarity import (
             semantic_dedup,
@@ -265,9 +266,8 @@ def curate(
         n_contaminated = hits.count()
         survivors = survivors.join(hits.select("doc_id"), "doc_id", "left_anti")
     if max_dup_frac is not None:
-        repetitive = duplicated_span_stats(docs).where(
-            F.col("dup_frac") > max_dup_frac
-        )
+        span_stats = duplicated_span_stats(docs)  # owns a persisted frame
+        repetitive = span_stats.where(F.col("dup_frac") > max_dup_frac)
         before = survivors.count()
         survivors = survivors.join(
             repetitive.select("doc_id"), "doc_id", "left_anti"
@@ -376,6 +376,8 @@ def curate(
         # safe here for the same reason as survivors_base below: the
         # packing output reads from the eager localCheckpoint
         release(sem)
+    if span_stats is not None:
+        release(span_stats)
     # safe: `packed` reads from the eager localCheckpoint of `ranked`,
     # so it no longer depends on the cached survivor table
     survivors_base.unpersist()
