@@ -53,13 +53,26 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter:
     """
     from pyspark.sql import functions as F
 
-    # symmetrize once; self-loops drop out (they never change a min).
-    # No distinct: duplicate directed edges are absorbed by the min
-    # aggregations below (map-side partial agg), so the dedup shuffle
-    # the old implementation paid here bought nothing.
-    fwd = edges_df.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    rev = edges_df.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    sym = fwd.union(rev).where(F.col("a") != F.col("b")).localCheckpoint()
+    # symmetrize once from a SINGLE scan of the edge input (a two-
+    # branch union re-executes the upstream plan — e.g. the simhash
+    # band joins — once per branch); self-loops drop out (they never
+    # change a min).  No distinct: duplicate directed edges are
+    # absorbed by the min aggregations below (map-side partial agg),
+    # so the dedup shuffle the old implementation paid here bought
+    # nothing.
+    sym = (
+        edges_df.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
+        .where(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
 
     # round 0 fused into ONE aggregation: labels start as ids, so
     # min(comp, min nbr comp) == least(a, min(b)) — no join needed

@@ -4916,18 +4916,28 @@ def q_contrastive_triplets(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     cand = simhash_candidates(simhash_column(docs))
     edges = cand.where(F.col("hamming") <= 3)
+    # both orientations from ONE scan of the candidate joins (a two-
+    # branch union re-executes the band joins per branch), and the
+    # per-anchor argmin as a map-side-combined struct-min aggregation
+    # instead of a row_number window (same (hamming, pos_id) ordering,
+    # no sort)
     sym = edges.select(
-        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id"), "hamming"
-    ).unionByName(
-        edges.select(
-            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("pos_id"), "hamming"
-        )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("anchor_id"), F.col("id_b").alias("pos_id")
+                ),
+                F.struct(
+                    F.col("id_b").alias("anchor_id"), F.col("id_a").alias("pos_id")
+                ),
+            )
+        ).alias("e"),
+        "hamming",
     )
-    wpos = Window.partitionBy("anchor_id").orderBy("hamming", "pos_id")
     pos = (
-        sym.withColumn("rn", F.row_number().over(wpos))
-        .where("rn = 1")
-        .select("anchor_id", "pos_id")
+        sym.groupBy(F.col("e.anchor_id").alias("anchor_id"))
+        .agg(F.min(F.struct("hamming", F.col("e.pos_id").alias("pos_id"))).alias("s"))
+        .select("anchor_id", F.col("s.pos_id").alias("pos_id"))
     )
 
     from .functions.sampling import ring_params
@@ -4940,13 +4950,14 @@ def q_contrastive_triplets(spark, sf_dir):
     pool_b = docs.select(F.col("doc_id").alias("neg_id")).withColumn(
         "b", F.shiftright(u32_md5("neg_id"), shift)
     )
-    ab = pos.withColumn("b0", F.shiftright(u32_md5("anchor_id"), shift))
-    probes = (
-        ab.select("anchor_id", "pos_id", F.col("b0").alias("b"))
-        .unionByName(
-            ab.select("anchor_id", "pos_id", ((F.col("b0") + 1) % nb).alias("b"))
-        )
-        .distinct()
+    # the two probe buckets explode from one pos row (b0 and b0+1 mod
+    # nb are always distinct, so the union+distinct shuffle bought
+    # nothing)
+    b0 = F.shiftright(u32_md5("anchor_id"), shift)
+    probes = pos.select(
+        "anchor_id",
+        "pos_id",
+        F.explode(F.array(b0, (b0 + 1) % nb)).alias("b"),
     )
     pair_u32 = u32_md5(F.concat_ws(":", F.col("anchor_id"), F.col("neg_id")))
     cand2 = (
@@ -4957,11 +4968,13 @@ def q_contrastive_triplets(spark, sf_dir):
         )
         .withColumn("u32", pair_u32)
     )
-    wneg = Window.partitionBy("anchor_id").orderBy("u32", "neg_id")
+    # per-anchor argmin by (u32, neg_id): struct-min aggregation ==
+    # the previous row_number window ordering (pos_id is functionally
+    # dependent on anchor_id, so grouping by both is grouping by anchor)
     trip = (
-        cand2.withColumn("rn", F.row_number().over(wneg))
-        .where("rn = 1")
-        .select("anchor_id", "pos_id", "neg_id")
+        cand2.groupBy("anchor_id", "pos_id")
+        .agg(F.min(F.struct("u32", "neg_id")).alias("s"))
+        .select("anchor_id", "pos_id", F.col("s.neg_id").alias("neg_id"))
     )
     return adopt(trip, *cached_inputs(cand))
 
