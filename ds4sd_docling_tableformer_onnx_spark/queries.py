@@ -408,7 +408,8 @@ def q_boilerplate_strip(spark, sf_dir):
     from .core.boilerplate import MIN_GOOD_WORDS
     from .operators.maincontent import strip_boilerplate_column, synthesize_pages
 
-    docs = _read(spark, sf_dir, "documents").where(
+    # widened: per-doc python block classification, output per-row
+    docs = _widen(_read(spark, sf_dir, "documents")).where(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= MIN_GOOD_WORDS
     )
     stripped = strip_boilerplate_column(synthesize_pages(docs))
@@ -441,7 +442,8 @@ def q_reading_order(spark, sf_dir):
 
     from .operators.maincontent import reading_order_spans
 
-    docs = _read(spark, sf_dir, "documents")
+    # widened: per-doc python reading-order clustering, output per-row
+    docs = _widen(_read(spark, sf_dir, "documents"))
     words = F.split(F.trim(F.col("text")), r"\s+")
     toks = F.transform(
         words,
@@ -2198,17 +2200,16 @@ def q_repetition_metrics(spark, sf_dir):
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("c"))
     )
+    # top word folded into the same aggregation as the totals: the
+    # struct-min over (-c, word) IS the row_number((c desc, word asc))=1
+    # pick, without the window sort or the join back
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top_count"),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("word"))).alias("_tw"),
     )
-    win = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("word"))
-    top = (
-        counts.withColumn("rn", F.row_number().over(win))
-        .where("rn = 1")
-        .select("doc_id", F.col("word").alias("top_word"))
-    )
+    top_word = F.col("_tw.word").alias("top_word")
     bigrams = base.select(
         "doc_id",
         F.when(
@@ -2228,22 +2229,18 @@ def q_repetition_metrics(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.max("bc").alias("top_bg"), F.sum("bc").alias("n_bg"))
     )
-    return (
-        per_doc.join(top, "doc_id")
-        .join(bg_top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "n_distinct",
-            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
-                "dup_word_frac"
-            ),
-            "top_word",
-            F.round(F.col("top_count") / F.col("n_words"), 6).alias("top_word_frac"),
-            F.round(
-                F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
-            ).alias("top_bigram_frac"),
-        )
+    return per_doc.join(bg_top, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        top_word,
+        F.round(F.col("top_count") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
     )
 
 
@@ -3001,7 +2998,8 @@ def q_bpe_pair_counts(spark, sf_dir):
     candidates) with exact corpus counts."""
     from pyspark.sql import functions as F
 
-    docs = _read(spark, sf_dir, "documents")
+    # widened: the char-pair explode dominates; counts are exact ints
+    docs = _widen(_read(spark, sf_dir, "documents"))
     # Guard: sequence(1, len-1) with len < 2 would default to step -1
     # ([1,0] / [1,0,-1]) and emit spurious pairs the oracle's
     # range(1, length) never produces (ADVICE r3) — same guard shape as
@@ -4266,17 +4264,19 @@ def q_dsir_resample(spark, sf_dir):
     # would still emit a NULL-weight row from the Spark select below —
     # filter identically on both sides so the row sets cannot diverge
     docs = docs.where(F.col("text").isNotNull())
-    tgt = docs.where(F.col("doc_id") % 43 == 0).select(words)
     src = docs.where(F.col("doc_id") % 43 != 0)
 
-    def _bucket_counts(df):
-        rows = df.groupBy(bucket(F.col("w")).alias("b")).agg(
-            F.count("*").alias("c")
-        ).collect()
-        return {int(r["b"]): int(r["c"]) for r in rows}
-
-    tc = _bucket_counts(tgt)
-    sc = _bucket_counts(src.select(words))
+    # both slices' bucket histograms in ONE corpus pass (slice-tagged
+    # aggregation, still <= 2*B collected rows); the previous per-slice
+    # collects scanned the corpus twice
+    rows = (
+        docs.select((F.col("doc_id") % 43 == 0).alias("t"), words)
+        .groupBy("t", bucket(F.col("w")).alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    tc = {int(r["b"]): int(r["c"]) for r in rows if r["t"]}
+    sc = {int(r["b"]): int(r["c"]) for r in rows if not r["t"]}
     t_tot, s_tot = sum(tc.values()), sum(sc.values())
 
     # DuckDB round() is half-away-from-zero; Python round() is
@@ -4744,7 +4744,9 @@ def q_quality_classifier(spark, sf_dir):
     from .functions.rules import heuristic_rules, keep_all
     from .operators.classifier import quality_scores, train_quality_weights
 
-    docs = _read(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # widened: per-word md5 bucketing dominates both passes; counts and
+    # scores are exact integers (see _widen)
+    docs = _widen(_read(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     train = docs.where(F.col("doc_id") % 3 != 0).withColumn(
         "label", keep_all(heuristic_rules("text"))
     )
@@ -5388,7 +5390,8 @@ def q_winnow_fingerprints(spark, sf_dir):
     """(doc_id, pos, fp): distinct winnowing selections per document."""
     from .operators.dedup import winnow_fingerprints
 
-    docs = _read(spark, sf_dir, "documents")
+    # widened: per-row gram hashing + window argmin; output per-row
+    docs = _widen(_read(spark, sf_dir, "documents"))
     return winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
 
 
@@ -6573,6 +6576,8 @@ def q_bigram_logprob(spark, sf_dir):
     score in integer micro-nats (higher = more typical of the corpus)."""
     from pyspark.sql import functions as F
 
+    from .plans.cache import adopt
+
     docs = _read(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -6594,6 +6599,9 @@ def q_bigram_logprob(spark, sf_dir):
         .select("doc_id", "bg.w1", "bg.w2")
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").cast("long").alias("k"))
+        # persisted: three consumers (c_xy, the quant join, the final
+        # per-doc sum) would each re-run the split+zip explode
+        .persist()
     )
     c_xy = doc_bigrams.groupBy("w1", "w2").agg(F.sum("k").alias("c_xy"))
     c_x = (
@@ -6608,7 +6616,7 @@ def q_bigram_logprob(spark, sf_dir):
             F.log(F.col("c_xy").cast("double") / F.col("c_x")) * 1e6
         ).cast("long").alias("q_micro"),
     )
-    return (
+    result = (
         doc_bigrams.join(quant, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -6618,6 +6626,7 @@ def q_bigram_logprob(spark, sf_dir):
             ),
         )
     )
+    return adopt(result, doc_bigrams)
 
 
 _register(

@@ -336,13 +336,16 @@ def test_quality_scoring_pass_is_shuffle_free(spark):
     """After the one bounded (label, bucket)-histogram collect, the
     quality classifier's scoring pass is a pure codegen map stage —
     the weight table rides as an array literal, so scoring 100 TB
-    never exchanges a byte (same discipline as DSIR scoring)."""
+    never exchanges a byte (same discipline as DSIR scoring).  The
+    registered query widens its bench-scale single-split scan with one
+    scale-adaptive round-robin repartition; that must remain the ONLY
+    exchange in the plan."""
     from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
 
     plan = _executed_plan(
         QUERIES["quality_classifier"](spark, "/root/testdata/sf0.001")
     )
-    assert "Exchange" not in plan
+    assert plan.count("Exchange") <= plan.count("RoundRobinPartitioning")
 
 
 def test_bpe_encode_plan_is_scan_project(spark):
@@ -367,12 +370,25 @@ def test_global_shuffle_has_exactly_one_exchange(spark):
 def test_winnow_fingerprints_is_shuffle_free(spark):
     """Winnowing never leaves the row until the final explode: grams,
     hashes, windowed argmin and the distinct all happen in array
-    expressions — zero Exchange, zero Python worker."""
+    expressions — the OPERATOR adds zero Exchange and zero Python
+    worker.  The registered query additionally widens the (bench-scale,
+    single-split) scan with one scale-adaptive round-robin repartition;
+    that must remain the ONLY exchange in its plan."""
+    from ds4sd_docling_tableformer_onnx_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
     from ds4sd_docling_tableformer_onnx_spark.queries import QUERIES
 
-    plan = _executed_plan(QUERIES["winnow_fingerprints"](spark, "/root/testdata/sf0.001"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _executed_plan(winnow_fingerprints(docs))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    qplan = _executed_plan(
+        QUERIES["winnow_fingerprints"](spark, "/root/testdata/sf0.001")
+    )
+    assert qplan.count("Exchange") <= qplan.count("RoundRobinPartitioning")
+    assert "ArrowEvalPython" not in qplan and "BatchEvalPython" not in qplan
 
 
 def test_salted_join_spreads_hot_keys(spark):
