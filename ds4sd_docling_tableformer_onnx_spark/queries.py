@@ -1020,21 +1020,32 @@ def q_minhash_lsh(spark, sf_dir):
     docs sharing a band bucket are near-dup candidates."""
     from pyspark.sql import functions as F
 
-    docs = _read(spark, sf_dir, "documents")
+    from .plans.cache import adopt
+
+    # widened: 8 md5 evaluations per distinct (doc, word) dominate the
+    # map side; mins and string keys are partition-order-free.  The
+    # per-doc distinct runs as array_distinct INSIDE the row (the
+    # distinct (doc_id, word) set is exactly the union of per-doc
+    # distinct word sets), replacing a full (doc, word) dedup shuffle.
+    docs = _widen(_read(spark, sf_dir, "documents"))
     words = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
-    ).distinct()
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("word"),
+    )
     sigs = words.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(str(i) + "#"), F.col("word")))).alias(f"m{i}")
             for i in range(_MINHASH_PERMS)
         ]
     )
+    # persisted: the two band self-joins would otherwise re-run the
+    # signature aggregation once per join side (the simhash_candidates
+    # discipline); released by the caller via plans/cache.release
     banded = sigs.select(
         "doc_id",
         F.concat_ws("|", "m0", "m1", "m2", "m3").alias("band0"),
         F.concat_ws("|", "m4", "m5", "m6", "m7").alias("band1"),
-    )
+    ).persist()
     # Band-exclusion dedup: emit each colliding pair from the FIRST band
     # it shares — band1 collisions that also collide on band0 are
     # filtered, so the union is exactly the distinct candidate set with
@@ -1051,7 +1062,7 @@ def q_minhash_lsh(spark, sf_dir):
         & lt,
     )
     out = F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    return pairs0.select(*out).unionAll(pairs1.select(*out))
+    return adopt(pairs0.select(*out).unionAll(pairs1.select(*out)), banded)
 
 
 _MINHASH_SIG_SQL = ",".join(
@@ -6744,7 +6755,12 @@ def q_bucketed_colocated_join(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="bucketed_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     (
+        # repartition by the bucket key with the bucket count: Spark's
+        # bucket spec uses the same HashPartitioning, so each write task
+        # holds exactly one bucket — 8 parallel writers instead of the
+        # single-split scan writing all 8 bucket files serially
         _read(spark, sf_dir, "orders")
+        .repartition(8, "o_custkey")
         .write.mode("overwrite")
         .option("path", f"{work}/orders_b")
         .bucketBy(8, "o_custkey")
@@ -6754,6 +6770,7 @@ def q_bucketed_colocated_join(spark, sf_dir):
     )
     (
         _read(spark, sf_dir, "customer")
+        .repartition(8, "c_custkey")
         .write.mode("overwrite")
         .option("path", f"{work}/customer_b")
         .bucketBy(8, "c_custkey")
