@@ -184,13 +184,21 @@ def bpe_encode(df, merges, text_col: str = "text", out_col: str = "tokens"):
     return df.withColumn(out_col, _encode(F.col(text_col)))
 
 
-def bpe_merge_rounds(df, rounds: int = 5, toks_col: str = "toks"):
+def bpe_merge_rounds(df, rounds: int = 5, toks_col: str = "toks", checkpoint_every: int = 8):
     """Run ``rounds`` BPE merge rounds over the token-array column.
 
     Returns ``(merges, final_stream)`` where ``merges`` is the ordered
     list of dicts ``{merge_round, lft, rgt, merged, cnt}`` (the trained
     merge table) and ``final_stream`` the post-merge token frame.
     Stops early if the corpus runs out of pairs.
+
+    ``checkpoint_every``: a pending round is one literal JVM string
+    replace, so short replay chains are cheaper to recompute than to
+    materialize — the stream is ``localCheckpoint``-ed only every N
+    rounds, bounding lineage depth (and replay cost) at N replaces
+    while skipping ~N-1 materialization jobs per window.  The pandas-
+    UDF-era per-round checkpoint existed because replaying Python
+    merges was expensive; the string form isn't.
     """
     from pyspark.sql import functions as F
 
@@ -230,11 +238,10 @@ def bpe_merge_rounds(df, rounds: int = 5, toks_col: str = "toks"):
                 "cnt": top["cnt"],
             }
         )
-        # localCheckpoint: materialize this round's stream and truncate
-        # lineage (otherwise round k replays rounds 1..k-1 per action)
-        stream = _apply_merge_str(
-            stream, "_bpe_str", top["lft"], top["rgt"]
-        ).localCheckpoint()
+        stream = _apply_merge_str(stream, "_bpe_str", top["lft"], top["rgt"])
+        if r % checkpoint_every == 0:
+            # truncate lineage every N rounds (see checkpoint_every)
+            stream = stream.localCheckpoint()
     final = stream.withColumn(
         toks_col, F.filter(F.split(F.col("_bpe_str"), s), lambda x: x != "")
     ).drop("_bpe_str")

@@ -44,12 +44,27 @@ component — which the zero-change exit proves exactly).
 from __future__ import annotations
 
 
-def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter: int = 25):
+def connected_components(
+    edges_df,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    driver_finish_edges: int = 65536,
+):
     """(src, dst) edge list -> (id, comp) for every endpoint, where
     ``comp`` is the smallest node id in the component (deterministic).
 
     Raises ``RuntimeError`` if not converged within ``max_iter``
     loop iterations — wrong groups are worse than a loud failure.
+
+    ``driver_finish_edges``: when the CONTRACTED label graph has at
+    most this many edges (an explicit bound checked with one count —
+    ~1 MB collected at the default; the c0 contraction typically
+    shrinks near-dup graphs ~100x first), its components are finished
+    with a driver-side union-find instead of the iterative loop: same
+    min-label result, zero loop jobs.  Larger contracted graphs take
+    the distributed loop unchanged — the collect is bounded by the
+    threshold, never by the data.
     """
     from pyspark.sql import functions as F
 
@@ -96,6 +111,45 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter:
         .localCheckpoint()
     )
 
+    # bounded driver finish: limit(cap + 1) keeps the size check O(cap)
+    # regardless of graph size; the collect below only happens under it
+    head = contracted.limit(driver_finish_edges + 1).collect()
+    if len(head) <= driver_finish_edges:
+        if not head:  # fully contracted: comp == c0
+            return c0.select(F.col("a").alias("id"), F.col("c").alias("comp"))
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in head:
+            ra, rb = find(r["a"]), find(r["b"])
+            if ra != rb:
+                # union by MIN root so every root is its component min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        from pyspark.sql import types as T
+
+        spark = edges_df.sparkSession
+        # nodes that never acquired a parent are their own component
+        # min; the map-back coalesce covers them via c0
+        comp_rows = [(n, find(n)) for n in parent]
+        dt = contracted.schema["a"].dataType
+        loop_labels = spark.createDataFrame(
+            comp_rows,
+            T.StructType([T.StructField("id", dt), T.StructField("comp", dt)]),
+        )
+        return c0.join(loop_labels.withColumnRenamed("id", "c"), "c", "left").select(
+            F.col("a").alias("id"),
+            F.coalesce(F.col("comp"), F.col("c")).alias("comp"),
+        )
+
     labels = (
         contracted.select(F.col("a").alias("id"))
         .distinct()
@@ -103,7 +157,7 @@ def connected_components(edges_df, src: str = "src", dst: str = "dst", max_iter:
         .localCheckpoint()
     )
 
-    converged = labels.isEmpty()  # fully contracted: comp == c0
+    converged = False
     for _ in range(max_iter):
         if converged:
             break

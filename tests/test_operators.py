@@ -317,10 +317,19 @@ def test_connected_components_long_chain_and_cap(spark):
     comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
     assert set(comp.values()) == {0} and len(comp) == 12
 
+    # the distributed loop (driver finish disabled) must agree with the
+    # bounded driver union-find path exactly
+    loop_comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, driver_finish_edges=0).collect()
+    }
+    assert loop_comp == comp
+
     import pytest as _pytest
 
+    # non-convergence guard lives in the loop path: cap it explicitly
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=3)
+        connected_components(edges, max_iter=3, driver_finish_edges=0)
 
 
 def test_dedup_groups_covers_isolated_ids(spark):
