@@ -37,7 +37,7 @@ def _read(spark, sf_dir, table):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _widen(df):
+def _widen(df, min_bytes: int = 0):
     """Scale-adaptive scan widening for queries whose map side does
     heavy per-row expression work (gram hashing, fingerprinting, text
     shingling): when the scan produced fewer partitions than the
@@ -47,11 +47,31 @@ def _widen(df):
     scan already has >= parallelism splits and this is a no-op — the
     guide's rule that partitioning must derive from input size, not a
     constant.  Only used by queries whose aggregates are exact-integer
-    or per-row (partition order never reaches a float sum)."""
+    or per-row (partition order never reaches a float sum).
+
+    ``min_bytes``: additionally require at least this much underlying
+    file data before widening — for operators whose per-byte map cost
+    only beats the repartition overhead above a certain input size
+    (measured per call site), the gate derives from the scan's actual
+    bytes, never from a fixed scale factor."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if min_bytes:
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        for uri in df.inputFiles():
+            path = urlparse(uri).path or uri
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                total = min_bytes  # non-local storage: assume big
+                break
+        if total < min_bytes:
+            return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------
@@ -3732,7 +3752,13 @@ def q_bpe_merges(spark, sf_dir):
 
     from .operators.bpe import bpe_merge_rounds, char_tokens
 
-    docs = _read(spark, sf_dir, "documents").where("doc_id % 4 = 0")
+    # size-gated widening: above ~4 MB of shard bytes the per-round
+    # split+explode passes dominate the one repartition (sf1: 19.3s ->
+    # 3.6s); below it the extra stage costs more than it saves
+    # (sf0.1 A/B: 2.28s plain vs 2.86s widened)
+    docs = _widen(_read(spark, sf_dir, "documents"), min_bytes=4 << 20).where(
+        "doc_id % 4 = 0"
+    )
     ascii_docs = docs.where(
         F.length("text") == F.octet_length("text")
     ).select("doc_id", "text")
