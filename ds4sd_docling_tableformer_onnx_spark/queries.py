@@ -2866,9 +2866,15 @@ def q_unigram_logprob(spark, sf_dir):
     """(doc_id, n_tokens, avg_logprob) under the corpus unigram LM."""
     from pyspark.sql import functions as F
 
+    from .plans.cache import adopt
+
     docs = _read(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
-    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    # persisted: the total-count scalar and the vocab TakeOrdered both
+    # consume the (vocab-sized) count table — without the persist each
+    # re-ran the corpus explode+groupBy.  No arithmetic changes: counts
+    # are exact integers and the downstream expressions are untouched.
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt")).persist()
     total = counts.agg(F.sum("cnt")).collect()[0][0]  # scalar, driver-side
     vocab = (
         counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
@@ -2876,7 +2882,7 @@ def q_unigram_logprob(spark, sf_dir):
         .select("token", F.log10(F.col("cnt").cast("double") / total).alias("logp"))
     )
     floor = F.lit(float(__import__("math").log10(0.5 / total)))
-    return (
+    result = (
         tok.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")
         .agg(
@@ -2884,6 +2890,7 @@ def q_unigram_logprob(spark, sf_dir):
             F.round(F.avg(F.coalesce(F.col("logp"), floor)), 4).alias("avg_logprob"),
         )
     )
+    return adopt(result, counts)
 
 
 _register(
@@ -4417,12 +4424,12 @@ def q_ccnet_buckets(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from .plans.cache import adopt
+    from .plans.cache import adopt, cached_inputs
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    unigram = q_unigram_logprob(spark, sf_dir)  # owns a persisted frame
     scored = (
-        q_unigram_logprob(spark, sf_dir)
-        .join(docs, "doc_id")
+        unigram.join(docs, "doc_id")
         .withColumn("s_int", F.round(F.col("avg_logprob") * 10000).cast("long"))
         .select("doc_id", "lang", "s_int")
         .persist()
@@ -4457,7 +4464,7 @@ def q_ccnet_buckets(spark, sf_dir):
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
-    return adopt(result, scored)
+    return adopt(result, scored, *cached_inputs(unigram))
 
 
 _register(
@@ -7204,12 +7211,15 @@ def q_quantile_sketch(spark, sf_dir):
     cum = counts.select(
         "cents", F.sum("k").over(win).alias("cum")
     ).persist()
-    n = orders.count()  # one scalar job; bounded driver traffic
-    approx = orders.agg(
-        F.percentile_approx(
-            "cents", [0.5, 0.95, 0.99], _QSK_ACC
-        ).alias("est")
-    ).first()["est"]
+    # ONE scan for the row count and the sketch (was two), and ONE
+    # aggregation per percentile over the cached cum table instead of
+    # three where+agg branches crossJoined (min(when(cum >= rank)) ==
+    # min over the filtered rows; 9 scans + 6 crossJoins -> 3 scans)
+    row = orders.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("cents", [0.5, 0.95, 0.99], _QSK_ACC).alias("est"),
+    ).first()
+    n, approx = row["n"], row["est"]
     parts = []
     import math
 
@@ -7217,19 +7227,15 @@ def q_quantile_sketch(spark, sf_dir):
         target = max(1, math.ceil(p * n))
         tol = n // _QSK_ACC + 1
         lo_rank, hi_rank = max(1, target - tol), min(n, target + tol)
-        exact = cum.where(F.col("cum") >= target).agg(
-            F.min("cents").alias("exact_cents")
-        )
-        lo = cum.where(F.col("cum") >= lo_rank).agg(
-            F.min("cents").alias("lo")
-        )
-        hi = cum.where(F.col("cum") >= hi_rank).agg(
-            F.min("cents").alias("hi")
+        bounds = cum.agg(
+            F.min(F.when(F.col("cum") >= target, F.col("cents"))).alias(
+                "exact_cents"
+            ),
+            F.min(F.when(F.col("cum") >= lo_rank, F.col("cents"))).alias("lo"),
+            F.min(F.when(F.col("cum") >= hi_rank, F.col("cents"))).alias("hi"),
         )
         parts.append(
-            exact.crossJoin(F.broadcast(lo))
-            .crossJoin(F.broadcast(hi))
-            .select(
+            bounds.select(
                 F.lit(label).alias("p_label"),
                 "exact_cents",
                 (
