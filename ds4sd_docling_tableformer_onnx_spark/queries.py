@@ -7436,3 +7436,45 @@ _register(
     FROM fp GROUP BY range_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-coverage ordering (r5 verdict item 1): CORRECTNESS_r03/r04/r05
+# all contain green rows for the SAME 50 queries — consistent with a
+# time/count box over the registry's insertion order.  Rebuild both
+# dicts so every query WITHOUT a historical driver-side row comes
+# first; a boxed driver then reaches the never-checked surface
+# (semantic_dedup, quality_classifier, the streaming ops, ...) before
+# re-confirming the long-green 50.  Keys, callables and oracle SQL are
+# untouched — only dict insertion order changes.
+# ---------------------------------------------------------------------------
+
+_DRIVER_CHECKED_THROUGH_R5 = [
+    "dense_rank_reindex", "topk_per_group", "max_by_per_key", "running_sum",
+    "sessionize", "exact_median_per_group", "pricing_summary",
+    "filtered_revenue", "timing_percentiles", "dim_join_rollup",
+    "boilerplate_strip", "reading_order", "anti_semi_join", "band_join",
+    "interval_theta_join", "adjacent_set_overlap", "regexp_span_extract",
+    "payload_digests", "bbox_iou", "token_count", "quality_score", "lang_id",
+    "doc_fingerprint", "exact_dedup", "minhash_lsh_pairs",
+    "word_jaccard_pairs", "ngram_jaccard_pairs", "ann_cosine_topk",
+    "embedding_neardup", "binary_payload_meta", "alignment_argmin",
+    "grid_counts", "set_union_adjacent", "base64_payload",
+    "simhash_candidates", "lsh_ann_topk", "lsh_neardup_pairs", "ivf_ann_topk",
+    "media_feature_stub", "layout_detect_stub", "extraction_pipeline",
+    "curation_pipeline", "dedup_groups", "repetition_metrics", "pii_scrub",
+    "url_domain_rollup", "ann_batch_topk", "bm25_topk", "mixture_sample",
+    "pack_sequences",
+]
+
+
+def _order_never_checked_first():
+    checked = [n for n in _DRIVER_CHECKED_THROUGH_R5 if n in QUERIES]
+    first = [n for n in QUERIES if n not in set(checked)]
+    for registry in (QUERIES, ORACLES):
+        ordered = {n: registry[n] for n in first + checked if n in registry}
+        registry.clear()
+        registry.update(ordered)
+
+
+_order_never_checked_first()
