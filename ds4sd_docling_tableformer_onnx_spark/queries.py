@@ -2869,7 +2869,10 @@ def q_unigram_logprob(spark, sf_dir):
     from .plans.cache import adopt
 
     docs = _read(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("token"))
+    # persisted split arrays: the count aggregation and the scoring
+    # join both explode them; one narrow materialization, one split
+    toks_arr = docs.select("doc_id", F.split("text", " ", -1).alias("_ws")).persist()
+    tok = toks_arr.select("doc_id", F.explode("_ws").alias("token"))
     # persisted: the total-count scalar and the vocab TakeOrdered both
     # consume the (vocab-sized) count table — without the persist each
     # re-ran the corpus explode+groupBy.  No arithmetic changes: counts
@@ -2890,7 +2893,7 @@ def q_unigram_logprob(spark, sf_dir):
             F.round(F.avg(F.coalesce(F.col("logp"), floor)), 4).alias("avg_logprob"),
         )
     )
-    return adopt(result, counts)
+    return adopt(result, counts, toks_arr)
 
 
 _register(
@@ -5100,7 +5103,10 @@ def q_tfidf_keywords(spark, sf_dir):
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("term")
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # persisted: the doc-frequency aggregation and the scored join both
+    # consume the per-doc term counts; without it each re-ran the
+    # corpus explode+groupBy
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf_int = F.round(
         F.log(F.lit(float(n_docs)) / F.col("df")) * 1_000_000
@@ -5108,13 +5114,16 @@ def q_tfidf_keywords(spark, sf_dir):
     scored = tf.join(df_tbl, "term").select(
         "doc_id", "term", (F.col("tf") * idf_int).alias("score_int")
     )
+    from .plans.cache import adopt
+
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score_int").desc(), F.col("term").asc()
     )
-    return (
+    return adopt(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TFIDF_K)
-        .select("doc_id", "term", "rank", "score_int")
+        .select("doc_id", "term", "rank", "score_int"),
+        tf,
     )
 
 
@@ -6627,12 +6636,15 @@ def q_bigram_logprob(spark, sf_dir):
     from .plans.cache import adopt
 
     docs = _read(spark, sf_dir, "documents")
+    # persisted: the bigram explode and the unigram count both consume
+    # the split arrays — one narrow materialization, one regex split
+    # (the dup_span_stats pattern)
     words = docs.select(
         "doc_id",
         F.filter(
             F.split("text", "[\t\n\f\r ]+"), lambda w: w != F.lit("")
         ).alias("ws"),
-    )
+    ).persist()
     doc_bigrams = (
         words.select(
             "doc_id",
@@ -6674,7 +6686,7 @@ def q_bigram_logprob(spark, sf_dir):
             ),
         )
     )
-    return adopt(result, doc_bigrams)
+    return adopt(result, doc_bigrams, words)
 
 
 _register(
