@@ -2549,15 +2549,20 @@ def q_bm25_topk(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
+    from .plans.cache import adopt
+
     docs = _read(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("word"))
+    # persisted: the corpus-stats reduction and the scoring projection
+    # both consume the per-doc aggregate; without it each re-ran the
+    # explode+groupBy
     per_doc = words.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
         *[
             F.sum(F.when(F.col("word") == t, 1).otherwise(0)).alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    ).persist()
     stats = per_doc.agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("tot"),
@@ -2578,11 +2583,12 @@ def q_bm25_topk(spark, sf_dir):
             / (tf + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.lit(avgdl)))
         )
         score = score + F.when(tf > 0, term).otherwise(F.lit(0.0))
-    return (
+    return adopt(
         per_doc.select("doc_id", F.round(score, 6).alias("bm25"))
         .where(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(10)
+        .limit(10),
+        per_doc,
     )
 
 
@@ -5938,15 +5944,23 @@ def q_pmi_collocations(spark, sf_dir):
     collocations."""
     from pyspark.sql import functions as F
 
+    from .plans.cache import adopt
+
     docs = _read(spark, sf_dir, "documents")
+    # persisted: the unigram and bigram branches both consume the split
+    # arrays, and the unigram counts feed three consumers (total + two
+    # join sides) — each would re-run its upstream otherwise
     words = docs.select(
         "doc_id",
         F.filter(
             F.split("text", "[\t\n\f\r ]+"), lambda w: w != F.lit("")
         ).alias("ws"),
-    )
-    unigrams = words.select(F.explode("ws").alias("w")).groupBy("w").agg(
-        F.count("*").cast("long").alias("c")
+    ).persist()
+    unigrams = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .persist()
     )
     bigrams = (
         words.select(
@@ -5990,9 +6004,11 @@ def q_pmi_collocations(spark, sf_dir):
             .alias("lift_permille"),
         )
     )
-    return scored.orderBy(
-        F.desc("lift_permille"), "w1", "w2"
-    ).limit(_PMI_TOPK)
+    return adopt(
+        scored.orderBy(F.desc("lift_permille"), "w1", "w2").limit(_PMI_TOPK),
+        words,
+        unigrams,
+    )
 
 
 _register(
