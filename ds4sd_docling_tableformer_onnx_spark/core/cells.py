@@ -26,6 +26,12 @@ from .otsl import CELL_TAGS, html_to_otsl
 # span filler — spans recorded by html-cell index therefore drift after
 # an xcel; that drift is reference behavior and must be preserved.
 GRID_CELL_TAGS = ("fcel", "ecel", "xcel", "ched", "rhed", "srow")
+_GRID_CELL_TAG_SET = frozenset(GRID_CELL_TAGS)  # hot-loop membership
+
+# count_expected_cells increments: the html markers and the raw OTSL cell
+# tags are disjoint token sets, so one lookup covers both branches.
+_CELL_COUNT_INC = {"<td>": 1, ">": 1}
+_CELL_COUNT_INC.update({t: 1 for t in CELL_TAGS})
 
 # HTML-mode cell labels (tf_cell_matcher.py:19-24).
 BODY = "body"
@@ -72,14 +78,16 @@ def build_table_cells(html_seq, otsl_seq, bboxes_page, classes):
     cell_id = 0
     row_id = 0
     col_id = 0
+    n_bboxes = len(bboxes_page)
+    n_classes = len(classes)
     for tag in otsl_seq:
         if tag == "nl":
             row_id += 1
             col_id = 0
             continue
-        if tag in GRID_CELL_TAGS:
-            bbox = bboxes_page[cell_id] if cell_id < len(bboxes_page) else [0.0, 0.0, 0.0, 0.0]
-            cell_class = classes[cell_id] if cell_id < len(classes) else 2
+        if tag in _GRID_CELL_TAG_SET:
+            bbox = bboxes_page[cell_id] if cell_id < n_bboxes else [0.0, 0.0, 0.0, 0.0]
+            cell_class = classes[cell_id] if cell_id < n_classes else 2
             cell = {
                 "cell_id": cell_id,
                 "row_id": row_id,
@@ -258,9 +266,11 @@ def intersection_over_pdf_match(table_cells, pdf_cells):
     counter = 0
     cell_idx, pdf_idx = np.nonzero(keep)
     scores = iopdf[cell_idx, pdf_idx].tolist()
+    pdf_ids = [p["id"] for p in pdf_cells]
+    cell_ids = [c["cell_id"] for c in table_cells]
     for i, j, score in zip(cell_idx.tolist(), pdf_idx.tolist(), scores):
-        p_id = pdf_cells[j]["id"]
-        match = {"table_cell_id": table_cells[i]["cell_id"], "iopdf": score}
+        p_id = pdf_ids[j]
+        match = {"table_cell_id": cell_ids[i], "iopdf": score}
         existing = matches.get(p_id)
         if existing is None:
             matches[p_id] = [match]
@@ -292,11 +302,10 @@ def count_expected_cells(html_seq):
     ``otsl_to_html`` passes non-OTSL-led streams through unchanged
     (tf_predictor.py:255-272).
     """
+    inc = _CELL_COUNT_INC
     count = 0
     for tok in html_seq:
-        if tok in ("<td>", ">"):
-            count += 1
-        if tok in CELL_TAGS:
+        if tok in inc:
             count += 1
     return count
 

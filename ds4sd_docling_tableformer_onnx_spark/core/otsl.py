@@ -23,6 +23,7 @@ from __future__ import annotations
 
 # Tags that open a table cell (everything else is span filler / delimiter).
 CELL_TAGS = ("fcel", "ched", "rhed", "srow", "ecel")
+_CELL_TAG_SET = frozenset(CELL_TAGS)  # hot-loop membership (same domain)
 STOP_TOKENS = ("<pad>", "<unk>", "<start>", "<end>")
 
 # Span attribute tokens recognised by the HTML->OTSL scanner.  The
@@ -60,12 +61,26 @@ def split_rows(tags):
 
 
 def is_square(tags):
-    """True when every row has the same length as the first row."""
-    rows = split_rows(tags)
-    if not rows:
-        return True
-    width = len(rows[0])
-    return all(len(row) == width for row in rows)
+    """True when every row has the same length as the first row.
+
+    Single pass over the maximal non-``nl`` runs — same row semantics as
+    ``split_rows`` without materializing the row lists.
+    """
+    width = -1
+    current = 0
+    for tag in tags:
+        if tag == "nl":
+            if current:
+                if width < 0:
+                    width = current
+                elif current != width:
+                    return False
+                current = 0
+        else:
+            current += 1
+    if current:
+        return width < 0 or current == width
+    return True
 
 
 def pad_to_square(tags, pad_tag):
@@ -91,8 +106,13 @@ def count_cells(tags):
 # span; a walk that hits the grid edge without a stop tag keeps its
 # final +1.  Identical to lcel/xcel run-counting on well-formed grids,
 # but parity on arbitrary streams requires the reference's exact loop.
-_DOWN_STOP = ("fcel", "ched", "rhed", "srow", "ecel", "lcel", "nl")
-_RIGHT_STOP = ("fcel", "ched", "rhed", "srow", "ecel", "ucel", "nl")
+_DOWN_STOP = frozenset(("fcel", "ched", "rhed", "srow", "ecel", "lcel", "nl"))
+_RIGHT_STOP = frozenset(("fcel", "ched", "rhed", "srow", "ecel", "ucel", "nl"))
+
+# Pre-rendered span attribute tokens for the common span range; any
+# extent outside it falls back to the identical f-string.
+_COLSPAN_STR = {n: f' colspan="{n}"' for n in range(2, 41)}
+_ROWSPAN_STR = {n: f' rowspan="{n}"' for n in range(2, 41)}
 
 
 def _run_right(grid, x, y):
@@ -144,35 +164,48 @@ def otsl_to_html(tags):
     if tags[0] not in CELL_TAGS:
         return list(tags)  # parity: assume it is already HTML
 
-    if not is_square(tags):
-        tags = pad_to_square(tags, "lcel")
+    # One split; squareness checked on the row lists and padding applied
+    # row-wise (identical to pad_to_square + re-split).
     grid = split_rows(tags)
+    if grid:
+        width = max(len(r) for r in grid)
+        if any(len(r) != width for r in grid):
+            grid = [r + ["lcel"] * (width - len(r)) for r in grid]
 
     html = []
+    append = html.append
     claimed = set()  # cells consumed by an emitted 2-D span
     in_thead = False
+    n_rows = len(grid)
 
     for y, row in enumerate(grid):
         if not in_thead and "ched" in row:
-            html.append("<thead>")
+            append("<thead>")
             in_thead = True
         if in_thead and "ched" not in row:
-            html.append("</thead>")
+            append("</thead>")
             in_thead = False
 
-        html.append("<tr>")
+        append("<tr>")
+        row_len = len(row)
         for x, tag in enumerate(row):
-            if tag not in CELL_TAGS:
+            if tag not in _CELL_TAG_SET:
+                continue
+            nxt = row[x + 1] if x + 1 < row_len else None
+            below_ucel = y + 1 < n_rows and grid[y + 1][x] == "ucel"
+            if nxt != "lcel" and nxt != "xcel" and not below_ucel:
+                append("<td>")
+                append("</td>")
                 continue
             rdist = ddist = xr = xd = 0
             span = False
-            if x + 1 < len(row) and row[x + 1] == "lcel":
+            if nxt == "lcel":
                 rdist = _run_right(grid, x, y)
                 span = True
-            if y + 1 < len(grid) and grid[y + 1][x] == "ucel":
+            if below_ucel:
                 ddist = _run_down(grid, x, y)
                 span = True
-            if x + 1 < len(row) and row[x + 1] == "xcel":
+            if nxt == "xcel":
                 xr = _run_right(grid, x, y)
                 xd = _run_down(grid, x, y)
                 span = True
@@ -186,20 +219,20 @@ def otsl_to_html(tags):
                 else:
                     claimed.update(block)
             if span:
-                html.append("<td")
+                append("<td")
                 if rdist > 1:
-                    html.append(f' colspan="{rdist}"')
+                    append(_COLSPAN_STR.get(rdist) or f' colspan="{rdist}"')
                 if ddist > 1:
-                    html.append(f' rowspan="{ddist}"')
+                    append(_ROWSPAN_STR.get(ddist) or f' rowspan="{ddist}"')
                 if xr > 1:  # parity: gate + ordering for 2-D spans
-                    html.append(f' rowspan="{xd}"')
-                    html.append(f' colspan="{xr}"')
-                html.append(">")
-                html.append("</td>")
+                    append(_ROWSPAN_STR.get(xd) or f' rowspan="{xd}"')
+                    append(_COLSPAN_STR.get(xr) or f' colspan="{xr}"')
+                append(">")
+                append("</td>")
             else:
-                html.append("<td>")
-                html.append("</td>")
-        html.append("</tr>")
+                append("<td>")
+                append("</td>")
+        append("</tr>")
 
     return html
 
@@ -263,8 +296,6 @@ def _html_to_otsl_impl(html_tokens, cell_tokens=None):
 
     n = len(html_tokens)
     for i, tok in enumerate(html_tokens):
-        prev_tok = html_tokens[i - 1] if i > 0 else ""
-        next_tok = html_tokens[i + 1] if i + 1 < n else ""
         if tok in ("<thead>", "<tbody>"):
             continue
 
@@ -324,6 +355,9 @@ def _html_to_otsl_impl(html_tokens, cell_tokens=None):
             row_count += 1
 
         elif tok in COLSPAN_TOKENS:
+            # prev/next only matter on span tokens — computed lazily here
+            prev_tok = html_tokens[i - 1] if i > 0 else ""
+            next_tok = html_tokens[i + 1] if i + 1 < n else ""
             if prev_tok not in ROWSPAN_TOKENS and next_tok not in ROWSPAN_TOKENS:
                 width = COLSPAN_TOKENS[tok]
                 spans[html_cell_idx - 1] = [width, 1]
@@ -335,6 +369,8 @@ def _html_to_otsl_impl(html_tokens, cell_tokens=None):
 
         if tok in ROWSPAN_TOKENS:
             height = ROWSPAN_TOKENS[tok]
+            prev_tok = html_tokens[i - 1] if i > 0 else ""
+            next_tok = html_tokens[i + 1] if i + 1 < n else ""
             if prev_tok not in COLSPAN_TOKENS and next_tok not in COLSPAN_TOKENS:
                 spans[html_cell_idx - 1] = [1, height]
                 line_expands[-1] = [0, height - 1]

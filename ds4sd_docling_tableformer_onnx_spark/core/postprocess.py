@@ -44,9 +44,15 @@ def table_dimensions(table_cells):
     columns = rows = 1
     max_cell_id = 0
     for cell in table_cells:
-        columns = max(columns, cell["column_id"])
-        rows = max(rows, cell["row_id"])
-        max_cell_id = max(max_cell_id, cell["cell_id"])
+        col_id = cell["column_id"]
+        if col_id > columns:
+            columns = col_id
+        row_id = cell["row_id"]
+        if row_id > rows:
+            rows = row_id
+        cell_id = cell["cell_id"]
+        if cell_id > max_cell_id:
+            max_cell_id = cell_id
     return columns + 1, rows + 1, max_cell_id
 
 
@@ -189,43 +195,41 @@ def deduplicate_columns(tab_columns, table_cells, first_matches, ioc_matches):
     cells removed from ``ioc_matches``; surviving columns keep their ids
     (parity: the reference does NOT re-number ``column_id`` here).
     """
-    # one pass over each match set, indexed by the cell's column
+    # one pass over each match set, indexed by the cell's column; the
+    # per-column pdf-id collections are only ever consumed as sets (the
+    # original built lists and set-ified them), so sets are kept directly
     col_of_cell = {c["cell_id"]: c["column_id"] for c in table_cells}
-    first_ids = [[] for _ in range(tab_columns)]
-    ioc_ids = [[] for _ in range(tab_columns)]
+    per_col_pdf_ids = [set() for _ in range(tab_columns)]
     per_col_score = [0.0] * tab_columns
     for key, match_list in first_matches.items():
         for m in match_list:
             col = col_of_cell.get(m["table_cell_id"])
             if col is not None and col < tab_columns:
                 per_col_score[col] += m.get("iou", m.get("iopdf", 0))
-                first_ids[col].append(key)
+                per_col_pdf_ids[col].add(int(key))
     for key, match_list in ioc_matches.items():
         for m in match_list:
             col = col_of_cell.get(m["table_cell_id"])
             if col is not None and col < tab_columns:
                 per_col_score[col] += m["iopdf"]
-                ioc_ids[col].append(key)
-    per_col_pdf_ids = [
-        list({int(x) for x in first_ids[col] + list(set(ioc_ids[col]) - set(first_ids[col]))})
-        for col in range(tab_columns)
-    ]
+                per_col_pdf_ids[col].add(int(key))
 
     doomed_cols = []
     for col in range(tab_columns - 1):
         a, b = per_col_pdf_ids[col], per_col_pdf_ids[col + 1]
-        overlap = len(set(a) & set(b)) / len(a) if a else 0
+        overlap = len(a & b) / len(a) if a else 0
         if overlap > 0.6:
             if per_col_score[col] >= per_col_score[col + 1]:
                 doomed_cols.append(col + 1)
             else:
                 doomed_cols.append(col)
 
-    doomed_cell_ids = []
+    doomed_col_set = set(doomed_cols)
+    doomed_cell_ids = set()
     kept_cells = []
     for cell in table_cells:
-        if cell["column_id"] in doomed_cols:
-            doomed_cell_ids.append(cell["cell_id"])
+        if cell["column_id"] in doomed_col_set:
+            doomed_cell_ids.add(cell["cell_id"])
         else:
             kept_cells.append(cell)
 
@@ -309,13 +313,21 @@ def _band_assign(pdf_cells, matches, bands, lo_idx, hi_idx):
     Returns {pdf_str_id: (band_id, depth, bbox)} in insertion order.
     """
     assigned = {}  # pdf_str_id -> [band_id, depth, bbox]
+    # Orphan set and per-cell mid computed once; the loop below visits
+    # (band, cell) pairs in the same order with the same float ops, so
+    # results are bit-identical to the naive nested loop.
+    orphans = []
+    for pdf_cell in pdf_cells:
+        key = str(pdf_cell["id"])
+        if key in matches:
+            continue
+        bbox = pdf_cell["bbox"]
+        c_lo = bbox[lo_idx]
+        c_hi = bbox[hi_idx]
+        orphans.append((key, c_lo, c_hi, (c_hi + c_lo) / 2, bbox))
     for band_id, (lo, hi) in enumerate(bands):
-        for pdf_cell in pdf_cells:
-            key = str(pdf_cell["id"])
-            if key in matches:
-                continue
-            c_lo = pdf_cell["bbox"][lo_idx]
-            c_hi = pdf_cell["bbox"][hi_idx]
+        band_mid = (hi + lo) / 2
+        for key, c_lo, c_hi, c_mid, bbox in orphans:
             inside = (
                 (lo <= c_lo <= hi)
                 or (lo <= c_hi <= hi)
@@ -323,10 +335,10 @@ def _band_assign(pdf_cells, matches, bands, lo_idx, hi_idx):
             )
             if not inside:
                 continue
-            depth = round(abs((hi + lo) / 2 - (c_hi + c_lo) / 2))
+            depth = round(abs(band_mid - c_mid))
             prior = assigned.get(key)
             if prior is None or depth < prior[1]:
-                assigned[key] = [band_id, depth, pdf_cell["bbox"]]
+                assigned[key] = [band_id, depth, bbox]
     return assigned
 
 
@@ -334,13 +346,18 @@ def _col_band_assign(pdf_cells, matches, bands):
     """Column variant: the spanning test uses strict inequalities
     (matching_post_processor.py:955 ``<``/``>`` vs rows' ``<=``/``>=``)."""
     assigned = {}
+    orphans = []
+    for pdf_cell in pdf_cells:
+        key = str(pdf_cell["id"])
+        if key in matches:
+            continue
+        bbox = pdf_cell["bbox"]
+        c_lo = bbox[0]
+        c_hi = bbox[2]
+        orphans.append((key, c_lo, c_hi, (c_hi + c_lo) / 2, bbox))
     for band_id, (lo, hi) in enumerate(bands):
-        for pdf_cell in pdf_cells:
-            key = str(pdf_cell["id"])
-            if key in matches:
-                continue
-            c_lo = pdf_cell["bbox"][0]
-            c_hi = pdf_cell["bbox"][2]
+        band_mid = (hi + lo) / 2
+        for key, c_lo, c_hi, c_mid, bbox in orphans:
             inside = (
                 (lo <= c_lo <= hi)
                 or (lo <= c_hi <= hi)
@@ -348,10 +365,10 @@ def _col_band_assign(pdf_cells, matches, bands):
             )
             if not inside:
                 continue
-            depth = round(abs((hi + lo) / 2 - (c_hi + c_lo) / 2))
+            depth = round(abs(band_mid - c_mid))
             prior = assigned.get(key)
             if prior is None or depth < prior[1]:
-                assigned[key] = [band_id, depth, pdf_cell["bbox"]]
+                assigned[key] = [band_id, depth, bbox]
     return assigned
 
 
@@ -366,34 +383,47 @@ def pick_orphans(tab_rows, tab_cols, max_cell_id, table_cells, pdf_cells, matche
     pdf-id order (parity with the C++-compat sort,
     matching_post_processor.py:1022-1035).
     """
-    row_bands = []
-    for row in range(tab_rows):
-        y1s, y2s = [], []
-        for cell in table_cells:
-            if (
-                cell["row_id"] == row
-                and "rowspan_val" not in cell
-                and cell["cell_class"] > 1
-            ):
-                y1s.append(cell["bbox"][1])
-                y2s.append(cell["bbox"][3])
-        row_bands.append((min(y1s) if y1s else -1, max(y2s) if y2s else -1))
-
-    col_bands = []
-    for col in range(tab_cols):
-        x1s, x2s = [], []
-        for cell in table_cells:
-            if (
-                cell["column_id"] == col
-                and "colspan_val" not in cell
-                and cell["cell_class"] > 1
-            ):
-                x1s.append(cell["bbox"][0])
-                x2s.append(cell["bbox"][2])
-        col_bands.append((min(x1s) if x1s else -1, max(x2s) if x2s else -1))
+    # One pass over the cells per axis (min/max are order-insensitive, so
+    # grouping first gives the same bands as the per-row/col rescans).
+    row_extent = {}
+    col_extent = {}
+    for cell in table_cells:
+        if cell["cell_class"] > 1:
+            bbox = cell["bbox"]
+            if "rowspan_val" not in cell:
+                ext = row_extent.get(cell["row_id"])
+                if ext is None:
+                    row_extent[cell["row_id"]] = [bbox[1], bbox[3]]
+                else:
+                    if bbox[1] < ext[0]:
+                        ext[0] = bbox[1]
+                    if bbox[3] > ext[1]:
+                        ext[1] = bbox[3]
+            if "colspan_val" not in cell:
+                ext = col_extent.get(cell["column_id"])
+                if ext is None:
+                    col_extent[cell["column_id"]] = [bbox[0], bbox[2]]
+                else:
+                    if bbox[0] < ext[0]:
+                        ext[0] = bbox[0]
+                    if bbox[2] > ext[1]:
+                        ext[1] = bbox[2]
+    row_bands = [tuple(row_extent.get(r, (-1, -1))) for r in range(tab_rows)]
+    col_bands = [tuple(col_extent.get(c, (-1, -1))) for c in range(tab_cols)]
 
     row_assign = _band_assign(pdf_cells, matches, row_bands, 1, 3)
     col_assign = _col_band_assign(pdf_cells, matches, col_bands)
+
+    # Slot index: first cell per (row, col) in list order; id index maps a
+    # cell_id to EVERY aliased entry so the merge hits the same objects
+    # the original full-list scans did.
+    slot_first = {}
+    cells_by_id = {}
+    for cell in table_cells:
+        slot_key = (cell["row_id"], cell["column_id"])
+        if slot_key not in slot_first:
+            slot_first[slot_key] = cell
+        cells_by_id.setdefault(cell["cell_id"], []).append(cell)
 
     for pdf_id_int in sorted(int(k) for k in row_assign):
         key = str(pdf_id_int)
@@ -402,28 +432,28 @@ def pick_orphans(tab_rows, tab_cols, max_cell_id, table_cells, pdf_cells, matche
         row_id = row_assign[key][0]
         col_id, depth, pdf_bbox = col_assign[key]
 
-        slot = [
-            c for c in table_cells
-            if c["row_id"] == row_id and c["column_id"] == col_id
-        ]
-        if slot:
-            target_id = slot[0]["cell_id"]
-            for cell in table_cells:
-                if cell["cell_id"] == target_id:
-                    cell["bbox"] = _merge_bboxes(cell["bbox"], pdf_bbox)
+        slot = slot_first.get((row_id, col_id))
+        if slot is not None:
+            target_id = slot["cell_id"]
+            for cell in cells_by_id[target_id]:
+                cell["bbox"] = _merge_bboxes(cell["bbox"], pdf_bbox)
         else:
             max_cell_id += 1
             target_id = max_cell_id
-            table_cells.append(
-                {
-                    "bbox": pdf_bbox,
-                    "cell_id": target_id,
-                    "column_id": col_id,
-                    "label": "body",
-                    "row_id": row_id,
-                    "cell_class": 2,
-                }
-            )
+            new_cell = {
+                "bbox": pdf_bbox,
+                "cell_id": target_id,
+                "column_id": col_id,
+                "label": "body",
+                "row_id": row_id,
+                "cell_class": 2,
+            }
+            table_cells.append(new_cell)
+            # keep the indexes in sync with the growing list: the slot was
+            # empty (that is why we are here), so the new cell is its
+            # first occupant, exactly as a rescan would find it
+            slot_first[(row_id, col_id)] = new_cell
+            cells_by_id.setdefault(target_id, []).append(new_cell)
         matches[key] = [{"post": depth, "table_cell_id": target_id}]
     return matches, table_cells, max_cell_id
 
@@ -500,8 +530,15 @@ def process(matching_details, correct_overlapping_cells=False):
 
     fixed_cells = []
     counts = _match_counts(matches)
+    # group once; passing a column its own cells (original order) is
+    # identical to the per-column full scans the splitter would do
+    cells_by_col = {}
+    for cell in table_cells:
+        cells_by_col.setdefault(cell["column_id"], []).append(cell)
     for col in range(tab_columns):
-        good, bad = split_good_bad_in_column(table_cells, col, matches, counts)
+        good, bad = split_good_bad_in_column(
+            cells_by_col.get(col, ()), col, matches, counts
+        )
         alignment = column_alignment(good)
         median_x, _, median_w, median_h = column_medians(good, alignment)
         moved = move_cells_to_anchor(bad, median_x, False, median_w, median_h, alignment)

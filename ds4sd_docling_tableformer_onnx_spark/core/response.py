@@ -63,23 +63,29 @@ def matched_response(table_cells, matches):
     cell_by_id = {}
     for tc in table_cells:
         cell_by_id.setdefault(tc["cell_id"], tc)  # first occurrence wins
+    # prototype copy: same keys in the same insertion order as the
+    # original literal; the mutable-valued fields are re-set fresh below
+    proto = {
+        "bbox": None,
+        "row_span": 1,
+        "col_span": 1,
+        "start_row_offset_idx": -1,
+        "end_row_offset_idx": -1,
+        "start_col_offset_idx": -1,
+        "end_col_offset_idx": -1,
+        "indentation_level": 0,
+        "text_cell_bboxes": None,
+        "column_header": False,
+        "row_header": False,
+        "row_section": False,
+        "cell_id": None,
+    }
     out = []
     for pdf_cell_id, match_list in matches.items():
-        cell = {
-            "bbox": {},
-            "row_span": 1,
-            "col_span": 1,
-            "start_row_offset_idx": -1,
-            "end_row_offset_idx": -1,
-            "start_col_offset_idx": -1,
-            "end_col_offset_idx": -1,
-            "indentation_level": 0,
-            "text_cell_bboxes": [{}],
-            "column_header": False,
-            "row_header": False,
-            "row_section": False,
-            "cell_id": int(pdf_cell_id),
-        }
+        cell = proto.copy()
+        cell["bbox"] = {}
+        cell["text_cell_bboxes"] = [{}]
+        cell["cell_id"] = int(pdf_cell_id)
         row_ids, col_ids, labels = set(), set(), set()
         for match in match_list:
             tc = cell_by_id.get(match["table_cell_id"])
@@ -172,10 +178,16 @@ def dense_reindex(tf_responses):
     max_end_col = 0
     max_end_row = 0
     for cell in tf_responses:
-        cell["start_col_offset_idx"] = col_rank[cell["start_col_offset_idx"]]
-        cell["end_col_offset_idx"] = cell["start_col_offset_idx"] + cell["col_span"]
-        max_end_col = max(max_end_col, cell["end_col_offset_idx"])
-        cell["start_row_offset_idx"] = row_rank[cell["start_row_offset_idx"]]
-        cell["end_row_offset_idx"] = cell["start_row_offset_idx"] + cell["row_span"]
-        max_end_row = max(max_end_row, cell["end_row_offset_idx"])
+        start_col = col_rank[cell["start_col_offset_idx"]]
+        end_col = start_col + cell["col_span"]
+        cell["start_col_offset_idx"] = start_col
+        cell["end_col_offset_idx"] = end_col
+        if end_col > max_end_col:
+            max_end_col = end_col
+        start_row = row_rank[cell["start_row_offset_idx"]]
+        end_row = start_row + cell["row_span"]
+        cell["start_row_offset_idx"] = start_row
+        cell["end_row_offset_idx"] = end_row
+        if end_row > max_end_row:
+            max_end_row = end_row
     return max_end_col, max_end_row
