@@ -108,7 +108,6 @@ def connected_components(
         .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
 
     # bounded driver finish: limit(cap + 1) keeps the size check O(cap)
@@ -150,6 +149,10 @@ def connected_components(
             F.coalesce(F.col("comp"), F.col("c")).alias("comp"),
         )
 
+    # distributed loop: NOW pay the contracted checkpoint (the loop
+    # references it every iteration); the driver-finish path above
+    # never needed it — its only read was the probe collect
+    contracted = contracted.localCheckpoint()
     labels = (
         contracted.select(F.col("a").alias("id"))
         .distinct()

@@ -37,7 +37,7 @@ def _read(spark, sf_dir, table):
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _widen(df, min_bytes: int = 0):
+def _widen(df, min_bytes: int = 0, bytes_per_part: int = 56 << 10):
     """Scale-adaptive scan widening for queries whose map side does
     heavy per-row expression work (gram hashing, fingerprinting, text
     shingling): when the scan produced fewer partitions than the
@@ -53,24 +53,48 @@ def _widen(df, min_bytes: int = 0):
     file data before widening — for operators whose per-byte map cost
     only beats the repartition overhead above a certain input size
     (measured per call site), the gate derives from the scan's actual
-    bytes, never from a fixed scale factor."""
+    bytes, never from a fixed scale factor.
+
+    ``bytes_per_part``: widen PROPORTIONALLY to the scan's bytes (one
+    partition per this many file bytes, capped at the session
+    parallelism) instead of jumping straight to full parallelism.
+    Per-task fixed costs (the ~170 ms python-exchange setup, Arrow
+    framing, stage bookkeeping) make full-width tasks a net LOSS on
+    small inputs: an r6 width sweep at sf0.1 (594 KB scan) measured
+    a flat optimum at ~8-16 tasks across every widened query
+    (quality_classifier 1.34s@32 -> 1.00s@8, dup_span_stats 0.79 ->
+    0.60, decontaminate 0.87 -> 0.64, boilerplate 0.76 -> 0.57,
+    bpe_pair_counts 0.60 -> 0.43), and the BPE merge loop — which
+    pays the width once per ROUND — showed the same shape (plain
+    2.34s / 4 parts 1.67s / 32 parts 2.86s at sf0.1, but 32 parts
+    3.6s vs plain 19.3s at sf1).  The 56 KB default lands sf0.1 at
+    ~11 parts and reaches full parallelism by ~1.8 MB of input;
+    still scale-adaptive: a corpus-scale scan already has >=
+    parallelism splits and returns untouched on the first check."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    if min_bytes:
+    if min_bytes or bytes_per_part:
         import os
         from urllib.parse import urlparse
 
-        total = 0
+        total = None
         for uri in df.inputFiles():
             path = urlparse(uri).path or uri
             try:
-                total += os.path.getsize(path)
+                total = (total or 0) + os.path.getsize(path)
             except OSError:
-                total = min_bytes  # non-local storage: assume big
+                total = None  # non-local storage: assume big
                 break
-        if total < min_bytes:
+        if min_bytes and total is not None and total < min_bytes:
             return df
+        if bytes_per_part:
+            if total is None:
+                target = target  # unknown size: full parallelism
+            else:
+                target = min(target, max(1, -(-total // bytes_per_part)))
+            if df.rdd.getNumPartitions() >= target:
+                return df
     return df.repartition(target)
 
 
@@ -3768,11 +3792,13 @@ def q_bpe_merges(spark, sf_dir):
 
     from .operators.bpe import bpe_merge_rounds, char_tokens
 
-    # size-gated widening: above ~4 MB of shard bytes the per-round
-    # split+explode passes dominate the one repartition (sf1: 19.3s ->
-    # 3.6s); below it the extra stage costs more than it saves
-    # (sf0.1 A/B: 2.28s plain vs 2.86s widened)
-    docs = _widen(_read(spark, sf_dir, "documents"), min_bytes=4 << 20).where(
+    # byte-proportional widening: the per-round split+explode passes
+    # re-scan the stream every merge round, so the A/B-optimal task
+    # count grows with input bytes — one partition per ~128 KB of file
+    # bytes, capped at session parallelism (sf0.1 A/B: plain 2.34s /
+    # 4 parts 1.67s / 32 parts 2.86s; sf1: 32 parts 3.6s vs plain
+    # 19.3s; corpus-scale scans already exceed parallelism -> no-op)
+    docs = _widen(_read(spark, sf_dir, "documents"), bytes_per_part=128 << 10).where(
         "doc_id % 4 = 0"
     )
     ascii_docs = docs.where(
@@ -6777,7 +6803,7 @@ def q_canonical_docs(spark, sf_dir):
             (F.col("rn") == 1).alias("keep"),
         )
     )
-    return adopt(result, *cached_inputs(cand))
+    return adopt(result, *cached_inputs(cand), *cached_inputs(groups))
 
 
 _register(
