@@ -261,7 +261,15 @@ def align_cells_to_pdf(table_cells, pdf_cells, matches):
     pdf_bbox_by_id = {p["id"]: p["bbox"] for p in pdf_cells}
     cell_by_id = {c["cell_id"]: c for c in table_cells}
 
-    snapped = []
+    # One pass instead of snap-all + regroup + merge: the merged list
+    # keeps the FIRST clone per cell_id (same output order) and its
+    # bbox is the coordinate-wise min/max union over every snapped
+    # bbox for that id — min/max are selections, so accumulating them
+    # in visit order yields the exact values the three-pass form
+    # computed over the collected list.
+    merged = []
+    first_clone = {}   # cell_id -> the clone kept in ``merged``
+    multi = set()      # cell_ids snapped more than once (bbox -> union)
     for pdf_cell_id, match_list in matches.items():
         cell_ids = set(int(m["table_cell_id"]) for m in match_list)
         pdf_bbox = pdf_bbox_by_id.get(int(pdf_cell_id))
@@ -271,31 +279,29 @@ def align_cells_to_pdf(table_cells, pdf_cells, matches):
             cell = cell_by_id.get(cid)
             if not cell:
                 continue
-            clone = cell.copy()
-            clone["bbox"] = list(pdf_bbox)
-            if "cell_class" not in clone:
-                clone["cell_class"] = "2"
-            snapped.append(clone)
-
-    bboxes_per_cell = {}
-    for cell in snapped:
-        bboxes_per_cell.setdefault(cell["cell_id"], []).append(cell["bbox"])
-
-    merged, seen = [], set()
-    for cell in snapped:
-        cid = cell["cell_id"]
-        if cid in seen:
-            continue
-        boxes = bboxes_per_cell[cid]
-        if len(boxes) > 1:
-            cell["bbox"] = [
-                min(b[0] for b in boxes),
-                min(b[1] for b in boxes),
-                max(b[2] for b in boxes),
-                max(b[3] for b in boxes),
-            ]
-        merged.append(cell)
-        seen.add(cid)
+            prior = first_clone.get(cid)
+            if prior is None:
+                clone = cell.copy()
+                clone["bbox"] = list(pdf_bbox)
+                if "cell_class" not in clone:
+                    clone["cell_class"] = "2"
+                first_clone[cid] = clone
+                merged.append(clone)
+            else:
+                b = prior["bbox"]
+                if cid not in multi:
+                    # first duplicate: fresh list so the union never
+                    # aliases the first snapped bbox
+                    b = prior["bbox"] = list(b)
+                    multi.add(cid)
+                if pdf_bbox[0] < b[0]:
+                    b[0] = pdf_bbox[0]
+                if pdf_bbox[1] < b[1]:
+                    b[1] = pdf_bbox[1]
+                if pdf_bbox[2] > b[2]:
+                    b[2] = pdf_bbox[2]
+                if pdf_bbox[3] > b[3]:
+                    b[3] = pdf_bbox[3]
     return merged
 
 

@@ -86,6 +86,46 @@ def matched_response(table_cells, matches):
         cell["bbox"] = {}
         cell["text_cell_bboxes"] = [{}]
         cell["cell_id"] = int(pdf_cell_id)
+        # fast path: after final assignment each pdf cell has exactly
+        # one match (the practical case) — the accumulation loop below
+        # then reduces to direct field assignment; single-element sets
+        # make the set/list round-trips order-trivial, so this branch
+        # is value-identical to the general loop by construction
+        if len(match_list) == 1:
+            tc = cell_by_id.get(match_list[0]["table_cell_id"])
+            if tc is None:
+                cell["row_ids"] = []
+                cell["column_ids"] = []
+                cell["label"] = "None"
+                out.append(cell)
+                continue
+            label = tc["label"]
+            col_id = tc["column_id"]
+            row_id = tc["row_id"]
+            if label == "ched":
+                cell["column_header"] = True
+            elif label == "rhed":
+                cell["row_header"] = True
+            elif label == "srow":
+                cell["row_section"] = True
+            cell["start_col_offset_idx"] = col_id
+            cell["end_col_offset_idx"] = col_id + 1
+            cell["start_row_offset_idx"] = row_id
+            cell["end_row_offset_idx"] = row_id + 1
+            if "colspan_val" in tc:
+                cell["col_span"] = tc["colspan_val"]
+                cell["end_col_offset_idx"] = col_id + tc["colspan_val"]
+            if "rowspan_val" in tc:
+                cell["row_span"] = tc["rowspan_val"]
+                cell["end_row_offset_idx"] = row_id + tc["rowspan_val"]
+            if "bbox" in tc:
+                b = tc["bbox"]
+                cell["bbox"] = {"b": b[3], "l": b[0], "r": b[2], "t": b[1]}
+            cell["row_ids"] = [row_id]
+            cell["column_ids"] = [col_id]
+            cell["label"] = label
+            out.append(cell)
+            continue
         row_ids, col_ids, labels = set(), set(), set()
         for match in match_list:
             tc = cell_by_id.get(match["table_cell_id"])
@@ -130,7 +170,10 @@ def merge_output(docling_output, pdf_cells):
         pdf_by_id.setdefault(pdf_cell["id"], pdf_cell)
     merged = {}
     for item in docling_output:
-        key = f"{item['start_col_offset_idx']}_{item['start_row_offset_idx']}"
+        # tuple key, not the reference's "col_row" string: the key is
+        # internal (output is list(merged.values())) and int tuples are
+        # distinct exactly when the formatted strings are
+        key = (item["start_col_offset_idx"], item["start_row_offset_idx"])
         if key not in merged:
             merged[key] = {
                 "bbox": item["bbox"],
