@@ -73,10 +73,33 @@ def _json_str_list(seq):
 def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: bool = False):
     """Arrow-batch worker: consumes pyarrow RecordBatches, yields typed
     RecordBatches (mapInArrow — measured ~30% faster than the pandas
-    bridge for this string-heavy output)."""
+    bridge for this string-heavy output).
+
+    The cyclic GC is suspended for the duration of the task: the per-turn
+    pipeline churns acyclic dicts/lists that refcounting frees instantly,
+    so generational collection walks ever-growing survivor sets for
+    nothing (pinned-core A/B: +11-13% turns/s).  Re-enabled in the
+    ``finally`` when the generator closes; any cycle created meanwhile is
+    collected on the next enabled pass."""
+    import gc
+
     import pyarrow as pa
 
     from ..core.pipeline import extract_turn
+
+    gc_was_enabled = gc.isenabled()
+    if gc_was_enabled:
+        gc.disable()
+    try:
+        yield from _extract_batches_inner(
+            batches, correct_overlapping_cells, lean, pa, extract_turn
+        )
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _extract_batches_inner(batches, correct_overlapping_cells, lean, pa, extract_turn):
 
     payload_cols = (
         ("html_sha256", "tf_responses_sha256")
