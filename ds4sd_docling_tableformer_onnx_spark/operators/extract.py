@@ -78,25 +78,16 @@ def _extract_batches(batches: Iterator, correct_overlapping_cells: bool, lean: b
     The cyclic GC is suspended for the duration of the task: the per-turn
     pipeline churns acyclic dicts/lists that refcounting frees instantly,
     so generational collection walks ever-growing survivor sets for
-    nothing (pinned-core A/B: +11-13% turns/s).  Re-enabled in the
-    ``finally`` when the generator closes; any cycle created meanwhile is
-    collected on the next enabled pass."""
-    import gc
-
+    nothing (pinned-core A/B: +11-13% turns/s; functions/gcctl.py)."""
     import pyarrow as pa
 
     from ..core.pipeline import extract_turn
+    from ..functions.gcctl import suspended_gc
 
-    gc_was_enabled = gc.isenabled()
-    if gc_was_enabled:
-        gc.disable()
-    try:
+    with suspended_gc():
         yield from _extract_batches_inner(
             batches, correct_overlapping_cells, lean, pa, extract_turn
         )
-    finally:
-        if gc_was_enabled:
-            gc.enable()
 
 
 def _extract_batches_inner(batches, correct_overlapping_cells, lean, pa, extract_turn):

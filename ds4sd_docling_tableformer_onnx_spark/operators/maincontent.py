@@ -38,7 +38,13 @@ def _strip_batches(batches: Iterator):
     import pyarrow as pa
 
     from ..core.boilerplate import strip_boilerplate
+    from ..functions.gcctl import suspended_gc
 
+    with suspended_gc():
+        yield from _strip_batches_inner(batches, pa, strip_boilerplate)
+
+
+def _strip_batches_inner(batches, pa, strip_boilerplate):
     for batch in batches:
         ids = batch.column("doc_id")
         texts, n_blocks, n_content, shas, errs = [], [], [], [], []
@@ -75,7 +81,13 @@ def _spans_batches(batches: Iterator):
     import pyarrow as pa
 
     from ..core.layout import reading_order
+    from ..functions.gcctl import suspended_gc
 
+    with suspended_gc():
+        yield from _spans_batches_inner(batches, pa, reading_order)
+
+
+def _spans_batches_inner(batches, pa, reading_order):
     for batch in batches:
         ids = batch.column("doc_id")
         texts, n_tokens, n_lines = [], [], []
