@@ -72,7 +72,8 @@ def _widen(df, min_bytes: int = 0, bytes_per_part: int = 56 << 10):
     still scale-adaptive: a corpus-scale scan already has >=
     parallelism splits and returns untouched on the first check."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    current = df.rdd.getNumPartitions()
+    if current >= target:
         return df
     if min_bytes or bytes_per_part:
         import os
@@ -88,12 +89,10 @@ def _widen(df, min_bytes: int = 0, bytes_per_part: int = 56 << 10):
                 break
         if min_bytes and total is not None and total < min_bytes:
             return df
-        if bytes_per_part:
-            if total is None:
-                target = target  # unknown size: full parallelism
-            else:
-                target = min(target, max(1, -(-total // bytes_per_part)))
-            if df.rdd.getNumPartitions() >= target:
+        if bytes_per_part and total is not None:
+            # unknown size (total None) keeps full parallelism
+            target = min(target, max(1, -(-total // bytes_per_part)))
+            if current >= target:
                 return df
     return df.repartition(target)
 
